@@ -1,0 +1,36 @@
+"""Test configuration.
+
+Tests run on CPU with a virtual 8-device mesh so sharding paths are
+exercised without TPU hardware. Must be set before jax is imported
+anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_BIN = pathlib.Path("/root/reference/bin")
+
+
+@pytest.fixture(scope="session")
+def golden_stream() -> bytes:
+    return (REFERENCE_BIN / "test.264").read_bytes()
+
+
+@pytest.fixture(scope="session")
+def golden_recon() -> bytes:
+    return (REFERENCE_BIN / "test_rec.yuv").read_bytes()
+
+
+@pytest.fixture(scope="session")
+def foreman_qcif() -> bytes:
+    return (REFERENCE_BIN / "foreman_part_qcif.yuv").read_bytes()
