@@ -103,6 +103,9 @@ class CabacSliceParser:
                 break
             st.slice_id[addr] = self.slice_id
             st.qp[addr] = self.qp
+            st.lf_disable[addr] = self.sh.disable_deblocking_filter_idc
+            st.lf_alpha[addr] = 2 * self.sh.slice_alpha_c0_offset_div2
+            st.lf_beta[addr] = 2 * self.sh.slice_beta_offset_div2
             skipped = self._read_mb_skip(addr) if is_pb else False
             if skipped:
                 self._setup_skip_mb(addr)
@@ -822,6 +825,7 @@ class CabacSliceParser:
         st = self.st
         cbp = int(st.cbp[addr])
         mbt = int(st.mb_type[addr])
+        x4o, y4o = st.mb_block_origin(addr)
         if mbt == M.I16MB:
             levels = self._read_block(addr, M.LUMA_16DC, 0, 0, 0)
             if levels is not None:
@@ -829,6 +833,7 @@ class CabacSliceParser:
                     if lev:
                         x, y = _ZZ4[k]
                         st.luma_dc[addr, y, x] = lev
+                        st.cbp_blk[addr] |= 1
         # luma AC / 4x4 / 8x8
         if cbp & 15:
             t8 = bool(st.transform8x8[addr])
@@ -845,16 +850,16 @@ class CabacSliceParser:
                         levels = self._read_block(addr, btype, 0, bx, by)
                         if levels is None:
                             continue
-                        if btype == M.LUMA_16AC:
-                            for k, lev in enumerate(levels):
-                                if lev:
-                                    x, y = _ZZ4[k + 1]
-                                    st.luma_levels[addr, blk, y, x] = lev
-                        else:
-                            for k, lev in enumerate(levels):
-                                if lev:
-                                    x, y = _ZZ4[k]
-                                    st.luma_levels[addr, blk, y, x] = lev
+                        nz = 0
+                        off = 1 if btype == M.LUMA_16AC else 0
+                        for k, lev in enumerate(levels):
+                            if lev:
+                                x, y = _ZZ4[k + off]
+                                st.luma_levels[addr, blk, y, x] = lev
+                                nz += 1
+                        if nz:
+                            st.cbp_blk[addr] |= 1 << (4 * by + bx)
+                            st.nnz[0, y4o + by, x4o + bx] = nz
         # chroma DC
         if self.sps.chroma_format_idc == 1:
             if cbp > 15:
@@ -882,10 +887,18 @@ class CabacSliceParser:
         levels = self._read_block(addr, M.LUMA_8x8, 0, (b8 & 1) * 2, (b8 >> 1) * 2)
         if levels is None:
             return
+        nz = 0
         for k, lev in enumerate(levels):
             if lev:
                 x, y = _ZZ8[k]
                 st.luma8_levels[addr, b8, y, x] = lev
+                nz += 1
+        if nz:
+            # all four 4x4 positions marked (JM: 51 << (4*b8 - 2*(b8&1)))
+            st.cbp_blk[addr] |= 51 << (4 * b8 - 2 * (b8 & 1))
+            x4o, y4o = st.mb_block_origin(addr)
+            bx8, by8 = (b8 & 1) * 2, (b8 >> 1) * 2
+            st.nnz[0, y4o + by8 : y4o + by8 + 2, x4o + bx8 : x4o + bx8 + 2] = nz
 
     def _read_block(self, addr: int, btype: int, is_v: int, bx: int, by: int):
         """CABAC residual block: cbf + sig map + levels.

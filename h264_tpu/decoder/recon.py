@@ -1,0 +1,272 @@
+"""Picture reconstruction from parsed SE tensors — host (numpy) oracle.
+
+This is the sequential bit-exact reference path; the batched JAX
+wavefront reconstruction is validated against it.  Arithmetic matches
+the reference decoder (ldecod/src/block.c itrans/itrans_2,
+macroblock.c decode_one_macroblock, transform8x8.c itrans8x8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import intra as IP
+from ..ops import quant as Q
+from ..ops import transforms as TR
+from ..ops.exact import rshift_rnd_sf
+from ..syntax.parsets import PPS, SPS
+from . import mbtables as M
+from .state import PictureParseState
+
+
+class Planes:
+    """Decoded picture sample planes (int32 while reconstructing)."""
+
+    def __init__(self, sps: SPS):
+        self.Y = np.zeros((sps.height, sps.width), np.int32)
+        cw, ch = sps.mb_chroma_size
+        H = sps.frame_height_in_mbs
+        W = sps.pic_width_in_mbs
+        if sps.chroma_format_idc:
+            self.U = np.zeros((H * ch, W * cw), np.int32)
+            self.V = np.zeros((H * ch, W * cw), np.int32)
+        else:
+            self.U = self.V = None
+
+    def to_yuv_bytes(self) -> bytes:
+        out = self.Y.astype(np.uint8).tobytes()
+        if self.U is not None:
+            out += self.U.astype(np.uint8).tobytes()
+            out += self.V.astype(np.uint8).tobytes()
+        return out
+
+
+def _add_residual(pred, res_scaled, max_val=255):
+    """itrans tail: rshift_rnd_sf(res + (pred << 6), 6), clipped."""
+    return rshift_rnd_sf(res_scaled + (pred.astype(np.int64) << 6), 6).clip(
+        0, max_val
+    ).astype(np.int32)
+
+
+class IntraReconstructor:
+    """Reconstructs intra MBs (I4/I8/I16/IPCM + chroma) in raster order."""
+
+    def __init__(self, st: PictureParseState, sps: SPS, pps: PPS, planes: Planes):
+        self.st = st
+        self.sps = sps
+        self.pps = pps
+        self.pl = planes
+        self.dc_y = 1 << (sps.bit_depth_luma - 1)
+        self.dc_c = 1 << (sps.bit_depth_chroma - 1)
+        self.max_y = (1 << sps.bit_depth_luma) - 1
+        self.max_c = (1 << sps.bit_depth_chroma) - 1
+
+    # -- neighbor sample gathering ---------------------------------------
+    def _avail_for_intra(self, avail: bool, nb_addr: int) -> bool:
+        if not avail:
+            return False
+        if self.pps.constrained_intra_pred_flag:
+            return bool(self.st.is_intra[nb_addr])
+        return True
+
+    def recon_mb(self, addr: int):
+        st = self.st
+        mbt = int(st.mb_type[addr])
+        if mbt == M.IPCM:
+            self._recon_ipcm(addr)
+            return
+        if mbt == M.I4MB:
+            self._recon_i4(addr)
+        elif mbt == M.I8MB:
+            self._recon_i8(addr)
+        elif mbt == M.I16MB:
+            self._recon_i16(addr)
+        else:
+            raise NotImplementedError(f"inter mb_type {mbt} at {addr}")
+        if self.sps.chroma_format_idc:
+            self._recon_chroma_intra(addr)
+
+    # -- IPCM --------------------------------------------------------------
+    def _recon_ipcm(self, addr: int):
+        st, pl = self.st, self.pl
+        W = st.W
+        mx, my = (addr % W) * 16, (addr // W) * 16
+        luma, cb, cr = st.ipcm_samples[addr]
+        pl.Y[my : my + 16, mx : mx + 16] = luma
+        cw, ch = self.sps.mb_chroma_size
+        cx, cy = (addr % W) * cw, (addr // W) * ch
+        pl.U[cy : cy + ch, cx : cx + cw] = cb
+        pl.V[cy : cy + ch, cx : cx + cw] = cr
+
+    # -- intra 4x4 ---------------------------------------------------------
+    def _recon_i4(self, addr: int):
+        st, pl = self.st, self.pl
+        W = st.W
+        mx, my = (addr % W) * 16, (addr // W) * 16
+        qp = int(st.qp[addr])
+        x4o, y4o = st.mb_block_origin(addr)
+        for blk in range(16):
+            bx, by = M.BLK4_TO_XY[blk]
+            ioff, joff = int(bx) * 4, int(by) * 4
+            px, py = mx + ioff, my + joff
+            mode = int(st.ipredmode[y4o + by, x4o + bx])
+            pred = self._pred_block4(addr, ioff, joff, px, py, mode)
+            levels = st.luma_levels[addr, blk]
+            if levels.any():
+                coef = Q.dequant4x4(levels, qp)
+                res = TR.inverse4x4(coef.astype(np.int64))
+                rec = _add_residual(pred, res, self.max_y)
+            else:
+                rec = pred
+            pl.Y[py : py + 4, px : px + 4] = rec
+
+    def _pred_block4(self, addr, ioff, joff, px, py, mode):
+        st, pl = self.st, self.pl
+        la, lmb, *_ = st.luma4x4_neighbor(addr, ioff - 1, joff)
+        ua, umb, *_ = st.luma4x4_neighbor(addr, ioff, joff - 1)
+        ura, urmb, *_ = st.luma4x4_neighbor(addr, ioff + 4, joff - 1)
+        ula, ulmb, *_ = st.luma4x4_neighbor(addr, ioff - 1, joff - 1)
+        # JM: kill up-right for blocks 3 and 11 positions (not yet decoded)
+        if ioff == 4 and (joff == 4 or joff == 12):
+            ura = False
+        avail_l = self._avail_for_intra(la, lmb)
+        avail_u = self._avail_for_intra(ua, umb)
+        avail_ur = self._avail_for_intra(ura, urmb)
+        avail_ul = self._avail_for_intra(ula, ulmb)
+        Y = pl.Y
+        up = Y[py - 1, px : px + 4] if avail_u else None
+        upright = Y[py - 1, px + 4 : px + 8] if avail_ur else None
+        left = Y[py : py + 4, px - 1] if avail_l else None
+        upleft = Y[py - 1, px - 1] if avail_ul else 0
+        return IP.pred4x4(
+            mode,
+            up.tolist() if up is not None else None,
+            upright.tolist() if upright is not None else None,
+            left.tolist() if left is not None else None,
+            int(upleft),
+            avail_u,
+            avail_l,
+            avail_ul,
+            avail_ur,
+            self.dc_y,
+        )
+
+    # -- intra 8x8 ---------------------------------------------------------
+    def _recon_i8(self, addr: int):
+        st, pl = self.st, self.pl
+        W = st.W
+        mx, my = (addr % W) * 16, (addr // W) * 16
+        qp = int(st.qp[addr])
+        x4o, y4o = st.mb_block_origin(addr)
+        for b8 in range(4):
+            ioff, joff = (b8 & 1) * 8, (b8 >> 1) * 8
+            px, py = mx + ioff, my + joff
+            mode = int(st.ipredmode[y4o + (b8 >> 1) * 2, x4o + (b8 & 1) * 2])
+            la, lmb, *_ = st.luma4x4_neighbor(addr, ioff - 1, joff)
+            ua, umb, *_ = st.luma4x4_neighbor(addr, ioff, joff - 1)
+            ura, urmb, *_ = st.luma4x4_neighbor(addr, ioff + 8, joff - 1)
+            ula, ulmb, *_ = st.luma4x4_neighbor(addr, ioff - 1, joff - 1)
+            if ioff == 8 and joff == 8:
+                ura = False
+            avail_l = self._avail_for_intra(la, lmb)
+            avail_u = self._avail_for_intra(ua, umb)
+            avail_ur = self._avail_for_intra(ura, urmb)
+            avail_ul = self._avail_for_intra(ula, ulmb)
+            Y = pl.Y
+            up = Y[py - 1, px : px + 8] if avail_u else None
+            upright = Y[py - 1, px + 8 : px + 16] if avail_ur else None
+            if avail_ur and upright.shape[0] < 8:  # picture edge padding
+                upright = np.pad(upright, (0, 8 - upright.shape[0]), mode="edge")
+            left = Y[py : py + 8, px - 1] if avail_l else None
+            upleft = int(Y[py - 1, px - 1]) if avail_ul else 0
+            Pf, Lf = IP.filter_ref_8x8(
+                up, upright, left, upleft, avail_u, avail_l, avail_ul, avail_ur,
+                self.dc_y,
+            )
+            pred = IP.pred8x8(mode, Pf, Lf, avail_u, avail_l, avail_ul, self.dc_y)
+            levels = st.luma8_levels[addr, b8]
+            if levels.any():
+                coef = Q.dequant8x8(levels, qp)
+                res = TR.inverse8x8(coef.astype(np.int64))
+                rec = _add_residual(pred, res, self.max_y)
+            else:
+                rec = pred
+            pl.Y[py : py + 8, px : px + 8] = rec
+
+    # -- intra 16x16 -------------------------------------------------------
+    def _recon_i16(self, addr: int):
+        st, pl = self.st, self.pl
+        W = st.W
+        mx, my = (addr % W) * 16, (addr // W) * 16
+        qp = int(st.qp[addr])
+        up_mb = st.mb_up(addr)
+        left_mb = st.mb_left(addr)
+        ul_a, ul_mb, *_ = st.luma4x4_neighbor(addr, -1, -1)
+        avail_u = self._avail_for_intra(up_mb >= 0, up_mb)
+        avail_l = self._avail_for_intra(left_mb >= 0, left_mb)
+        avail_ul = self._avail_for_intra(ul_a, ul_mb)
+        Y = pl.Y
+        up = Y[my - 1, mx : mx + 16] if avail_u else np.zeros(16, np.int32)
+        left = Y[my : my + 16, mx - 1] if avail_l else np.zeros(16, np.int32)
+        upleft = int(Y[my - 1, mx - 1]) if avail_ul else 0
+        mode = int(st.i16mode[addr])
+        pred = IP.pred16x16(
+            mode, up, left, upleft, avail_u, avail_l, avail_ul, self.dc_y,
+            self.sps.bit_depth_luma,
+        )
+        # DC path: inverse Hadamard of DC levels, then dequant
+        dc_had = TR.hadamard4x4(st.luma_dc[addr].astype(np.int64))
+        # NB: itrans_2 uses plain butterflies (no >>1), which hadamard4x4 is
+        dc = Q.dequant_luma_dc(dc_had, qp)
+        rec = np.empty((16, 16), np.int32)
+        for blk in range(16):
+            bx, by = M.BLK4_TO_XY[blk]
+            levels = st.luma_levels[addr, blk]
+            coef = Q.dequant4x4(levels, qp).astype(np.int64)
+            coef[0, 0] = dc[by, bx]
+            res = TR.inverse4x4(coef)
+            rec[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = _add_residual(
+                pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4], res, self.max_y
+            )
+        pl.Y[my : my + 16, mx : mx + 16] = rec
+
+    # -- chroma ------------------------------------------------------------
+    def _recon_chroma_intra(self, addr: int):
+        st, pl = self.st, self.pl
+        cw, ch = self.sps.mb_chroma_size
+        W = st.W
+        cx, cy = (addr % W) * cw, (addr // W) * ch
+        mode = int(st.c_ipred_mode[addr])
+        up_mb = st.mb_up(addr)
+        left_mb = st.mb_left(addr)
+        ul_a, ul_mb = st.chroma4x4_neighbor(addr, -1, -1, cw, ch)[:2]
+        avail_u = self._avail_for_intra(up_mb >= 0, up_mb)
+        avail_l = self._avail_for_intra(left_mb >= 0, left_mb)
+        for uv, plane in ((0, pl.U), (1, pl.V)):
+            qp_c = int(st.qpc[addr, uv])
+            up = plane[cy - 1, cx : cx + cw] if avail_u else np.zeros(cw, np.int32)
+            left = plane[cy : cy + ch, cx - 1] if avail_l else np.zeros(ch, np.int32)
+            upleft = int(plane[cy - 1, cx - 1]) if (avail_u and avail_l and ul_a) else 0
+            pred = IP.pred_chroma(
+                mode, up, left, upleft, avail_u, avail_l, cw, ch, self.dc_c,
+                self.sps.bit_depth_chroma,
+            )
+            self._chroma_residual(addr, uv, plane, pred, cx, cy, qp_c)
+
+    def _chroma_residual(self, addr, uv, plane, pred, cx, cy, qp_c):
+        st = self.st
+        cw, ch = self.sps.mb_chroma_size
+        # DC: 2x2 hadamard of parsed DC levels, dequant (truncating shifts)
+        dch = TR.hadamard2x2(st.chroma_dc[addr, uv].astype(np.int64))
+        dc = Q.dequant_chroma_dc(dch, qp_c)
+        rec = np.empty((ch, cw), np.int32)
+        for blk in range(4):
+            bx, by = blk & 1, blk >> 1
+            levels = st.chroma_levels[addr, uv, blk]
+            coef = Q.dequant4x4(levels, qp_c).astype(np.int64)
+            coef[0, 0] = dc[by, bx]
+            res = TR.inverse4x4(coef)
+            rec[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = _add_residual(
+                pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4], res, self.max_c
+            )
+        plane[cy : cy + ch, cx : cx + cw] = rec

@@ -32,7 +32,13 @@ class PictureParseState:
         self.qp = np.zeros(nb, np.int32)
         self.qpc = np.zeros((nb, 2), np.int32)  # chroma qp (cb, cr)
         self.cbp = np.zeros(nb, np.int32)
-        self.cbp_bits = [0] * nb  # python ints, 64-bit bitmaps
+        self.cbp_bits = [0] * nb  # python ints, 64-bit bitmaps (CABAC ctx)
+        self.cbp_blk = [0] * nb  # per-4x4 "has coeffs" raster bitmap (deblock)
+        self.lf_disable = np.zeros(nb, np.int32)
+        self.lf_alpha = np.zeros(nb, np.int32)
+        self.lf_beta = np.zeros(nb, np.int32)
+        # ref_pic_id per list per 4x4 block (filled by MV derivation)
+        self.ref_pic_id = np.full((2, 4 * H, 4 * W), -(10**9), np.int64)
         self.is_intra = np.zeros(nb, np.uint8)
         self.transform8x8 = np.zeros(nb, np.uint8)
         self.skip_flag = np.zeros(nb, np.uint8)
@@ -96,9 +102,14 @@ class PictureParseState:
         if xp < 0 and yp < 0:
             n_addr = addr - self.W - 1 if (mb_x > 0 and mb_y > 0) else -1
         elif xp < 0:
-            n_addr = addr - 1 if mb_x > 0 else -1
+            n_addr = addr - 1 if (mb_x > 0 and yp < 16) else -1
         elif yp < 0:
-            n_addr = addr - self.W if mb_y > 0 else -1
+            if xp < 16:
+                n_addr = addr - self.W if mb_y > 0 else -1
+            else:  # mbAddrC (up-right)
+                n_addr = (
+                    addr - self.W + 1 if (mb_y > 0 and mb_x < self.W - 1) else -1
+                )
         elif xp < 16 and yp < 16:
             n_addr = addr
         else:
