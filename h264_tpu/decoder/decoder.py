@@ -2,7 +2,7 @@
 
 Host-side orchestration (the JM ldecod.c/image.c role): NAL iteration,
 parameter-set activation, picture boundary detection, slice parse
-dispatch, reconstruction, deblocking, DPB/output ordering.
+dispatch, MV derivation, reconstruction, deblocking, DPB management.
 """
 
 from __future__ import annotations
@@ -12,11 +12,14 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..bitstream import NalUnitType, iter_annexb_nalus
+from ..ops import interp as MCI
+from ..ops.deblock import deblock_picture
 from ..syntax.parsets import PPS, SPS, parse_pps, parse_sps
 from ..syntax.slice_header import SliceHeader, SliceType, parse_slice_header
-from ..ops.deblock import deblock_picture
 from .cabac_mb import CabacSliceParser
-from .recon import IntraReconstructor, Planes
+from .dpb import DPB
+from .mv import compute_moving_mask, derive_mvs
+from .recon import PictureReconstructor, Planes
 from .state import PictureParseState
 
 
@@ -30,10 +33,26 @@ class DecodedPicture:
     is_idr: bool
     slice_type: SliceType
     pic_num: int = 0
+    frame_num_wrap: int = 0
     long_term: bool = False
+    long_term_idx: int = -1
+    _padded: tuple | None = None
 
     def to_yuv_bytes(self) -> bytes:
         return self.planes.to_yuv_bytes()
+
+    def padded_planes(self):
+        if self._padded is None:
+            self._padded = (
+                MCI.pad_plane(self.planes.Y),
+                MCI.pad_plane(self.planes.U),
+                MCI.pad_plane(self.planes.V),
+            )
+        return self._padded
+
+    @property
+    def unique_id(self) -> int:
+        return self.poc
 
 
 class H264Decoder:
@@ -46,9 +65,9 @@ class H264Decoder:
         self.prev_poc_lsb = 0
         self.prev_frame_num = 0
         self.prev_frame_num_offset = 0
-        self.dpb: list[DecodedPicture] = []
+        self.dpb: DPB | None = None
 
-    # -- POC (spec §8.2.1, type 0 and 2) ----------------------------------
+    # -- POC (spec §8.2.1, types 0 and 2) ---------------------------------
     def _compute_poc(self, sh: SliceHeader, sps: SPS) -> int:
         if sps.pic_order_cnt_type == 0:
             max_lsb = sps.max_pic_order_cnt_lsb
@@ -84,7 +103,7 @@ class H264Decoder:
     # -- main decode loop --------------------------------------------------
     def decode_stream(self, data: bytes):
         """Generator of DecodedPicture in decode order."""
-        pending = None  # (state, planes, slices-info)
+        pending = None
         for nalu in iter_annexb_nalus(data):
             t = nalu.nal_unit_type
             if t == NalUnitType.SPS:
@@ -98,13 +117,17 @@ class H264Decoder:
                     nalu.rbsp, self.sps_map, self.pps_map, nalu.nal_ref_idc,
                     nalu.is_idr,
                 )
+                if self.dpb is None:
+                    self.dpb = DPB(sps)
                 poc = self._compute_poc(sh, sps)
-                self.prev_frame_num = sh.frame_num
                 is_new = pending is None or self._is_new_picture(pending, sh, poc)
                 if is_new and pending is not None:
                     yield self._finish_picture(pending)
                     pending = None
+                self.prev_frame_num = sh.frame_num
                 if pending is None:
+                    if sh.is_idr:
+                        self.dpb.idr_flush()
                     state = PictureParseState(
                         sps.pic_width_in_mbs, sps.frame_height_in_mbs
                     )
@@ -115,7 +138,6 @@ class H264Decoder:
                         "poc": poc,
                         "sh0": sh,
                         "slices": [],
-                        "n_slices": 0,
                     }
                 self._parse_slice(pending, nalu.rbsp, sh, sps, pps)
         if pending is not None:
@@ -134,8 +156,7 @@ class H264Decoder:
 
     def _parse_slice(self, pending, rbsp: bytes, sh: SliceHeader, sps, pps):
         state = pending["state"]
-        sid = pending["n_slices"]
-        pending["n_slices"] += 1
+        sid = len(pending["slices"])
         if not pps.entropy_coding_mode_flag:
             raise NotImplementedError("CAVLC slice decode")
         parser = CabacSliceParser(rbsp, sh, sps, pps, state, sid)
@@ -148,26 +169,67 @@ class H264Decoder:
         sps: SPS = pending["sps"]
         pps: PPS = pending["pps"]
         sh0: SliceHeader = pending["sh0"]
+        poc = pending["poc"]
         planes = Planes(sps)
-        stype = sh0.slice_type
-        if stype == SliceType.I:
-            recon = IntraReconstructor(state, sps, pps, planes)
-            for addr in range(state.n_mbs):
-                recon.recon_mb(addr)
-        else:
-            raise NotImplementedError("inter picture reconstruction")
+
+        # per-slice reference lists + colocated info
+        self.dpb.update_pic_nums(sh0.frame_num, sps.max_frame_num)
+        slice_info = []
+        slice_refs = []
+        for sh in pending["slices"]:
+            lists = self.dpb.build_lists(sh, poc)
+            info = {
+                "type": sh.slice_type,
+                "ref_ids": [
+                    [p.unique_id for p in lists[0]],
+                    [p.unique_id for p in lists[1]],
+                ],
+                "col": None,
+                "direct_8x8_inference": sps.direct_8x8_inference_flag,
+                "spatial_direct": sh.direct_spatial_mv_pred_flag,
+            }
+            if sh.slice_type == SliceType.B and lists[1]:
+                colpic = lists[1][0]
+                info["col"] = {
+                    "moving": compute_moving_mask(colpic.state, colpic.long_term),
+                    "pic": colpic,
+                }
+                if not sh.direct_spatial_mv_pred_flag:
+                    raise NotImplementedError("temporal direct")
+            slice_info.append(info)
+            slice_refs.append(
+                [
+                    [p.padded_planes() for p in lists[0]],
+                    [p.padded_planes() for p in lists[1]],
+                ]
+            )
+
+        if sh0.slice_type != SliceType.I:
+            derive_mvs(state, state.slice_id, slice_info)
+
+        recon = PictureReconstructor(state, sps, pps, planes, slice_refs)
+        for addr in range(state.n_mbs):
+            recon.recon_mb(addr)
         deblock_picture(state, sps, planes)
+
         pic = DecodedPicture(
-            poc=pending["poc"],
+            poc=poc,
             frame_num=sh0.frame_num,
             planes=planes,
             state=state,
             is_ref=sh0.nal_ref_idc != 0,
             is_idr=sh0.is_idr,
-            slice_type=stype,
+            slice_type=sh0.slice_type,
         )
+        if sh0.is_idr and sh0.long_term_reference_flag:
+            pic.long_term = True
+            pic.long_term_idx = 0
+        self.dpb.store(pic)
         return pic
 
 
-def decode_annexb(data: bytes) -> list[DecodedPicture]:
-    return list(H264Decoder().decode_stream(data))
+def decode_annexb(data: bytes) -> list:
+    """Decode a stream; returns pictures in output (POC) order."""
+    dec = H264Decoder()
+    pics = list(dec.decode_stream(data))
+    return sorted(pics, key=lambda p: p.poc)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..ops import interp as MC
 from ..ops import intra as IP
 from ..ops import quant as Q
 from ..ops import transforms as TR
@@ -269,4 +270,149 @@ class IntraReconstructor:
             rec[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = _add_residual(
                 pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4], res, self.max_c
             )
+        plane[cy : cy + ch, cx : cx + cw] = rec
+
+
+class PictureReconstructor(IntraReconstructor):
+    """Full picture reconstruction: intra + inter MBs.
+
+    `ref_planes[lst]` maps ref_idx -> padded reference planes
+    (Ypad, Upad, Vpad) per slice; provided per slice id.
+    """
+
+    def __init__(self, st, sps, pps, planes, slice_refs):
+        super().__init__(st, sps, pps, planes)
+        # slice_refs: per slice id: [list0, list1] where each is a list of
+        # (Ypad, Upad, Vpad) tuples (padded with MC.PAD)
+        self.slice_refs = slice_refs
+
+    def recon_mb(self, addr: int):
+        st = self.st
+        mbt = int(st.mb_type[addr])
+        if st.is_intra[addr]:
+            super().recon_mb(addr)
+            return
+        self._recon_inter(addr)
+
+    def _recon_inter(self, addr: int):
+        st, pl = self.st, self.pl
+        W = st.W
+        mx, my = (addr % W) * 16, (addr // W) * 16
+        x4, y4 = st.mb_block_origin(addr)
+        refs = self.slice_refs[int(st.slice_id[addr])]
+        width, height = self.sps.width, self.sps.height
+        cw, ch = self.sps.mb_chroma_size
+        cwidth, cheight = width >> 1, height >> 1
+
+        pred_y = np.empty((16, 16), np.int32)
+        pred_u = np.empty((ch, cw), np.int32)
+        pred_v = np.empty((ch, cw), np.int32)
+
+        for by in range(4):
+            for bx in range(4):
+                px, py = mx + bx * 4, my + by * 4
+                preds_y, preds_u, preds_v = [], [], []
+                for lst in (0, 1):
+                    ref = int(st.ref_idx[lst, y4 + by, x4 + bx])
+                    if ref < 0:
+                        continue
+                    mvx = int(st.mv[lst, y4 + by, x4 + bx, 0])
+                    mvy = int(st.mv[lst, y4 + by, x4 + bx, 1])
+                    Ypad, Upad, Vpad = refs[lst][ref]
+                    xi = px + (mvx >> 2)
+                    yi = py + (mvy >> 2)
+                    dx, dy = mvx & 3, mvy & 3
+                    xi = max(-(MC.PAD - 8), min(width + MC.PAD - 12, xi))
+                    yi = max(-(MC.PAD - 8), min(height + MC.PAD - 12, yi))
+                    preds_y.append(
+                        MC.luma_block(Ypad, MC.PAD, xi, yi, dx, dy, 4, 4, self.max_y)
+                    )
+                    # chroma: eighth-pel from the same MV
+                    cx_full = (px >> 1) + (mvx >> 3)
+                    cy_full = (py >> 1) + (mvy >> 3)
+                    fx, fy = mvx & 7, mvy & 7
+                    cx_full = max(-(MC.PAD - 4), min(cwidth + MC.PAD - 8, cx_full))
+                    cy_full = max(-(MC.PAD - 4), min(cheight + MC.PAD - 8, cy_full))
+                    preds_u.append(
+                        MC.chroma_block(Upad, MC.PAD, cx_full, cy_full, fx, fy, 2, 2)
+                    )
+                    preds_v.append(
+                        MC.chroma_block(Vpad, MC.PAD, cx_full, cy_full, fx, fy, 2, 2)
+                    )
+                if not preds_y:
+                    raise ValueError(f"no prediction for inter block at MB {addr}")
+                if len(preds_y) == 2:
+                    yblk = (preds_y[0] + preds_y[1] + 1) >> 1
+                    ublk = (preds_u[0] + preds_u[1] + 1) >> 1
+                    vblk = (preds_v[0] + preds_v[1] + 1) >> 1
+                else:
+                    yblk, ublk, vblk = preds_y[0], preds_u[0], preds_v[0]
+                pred_y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = yblk
+                pred_u[by * 2 : by * 2 + 2, bx * 2 : bx * 2 + 2] = ublk
+                pred_v[by * 2 : by * 2 + 2, bx * 2 : bx * 2 + 2] = vblk
+
+        # --- luma residual ---
+        qp = int(st.qp[addr])
+        rec = pred_y
+        if st.transform8x8[addr]:
+            out = np.empty((16, 16), np.int32)
+            for b8 in range(4):
+                ioff, joff = (b8 & 1) * 8, (b8 >> 1) * 8
+                levels = st.luma8_levels[addr, b8]
+                if levels.any():
+                    coef = Q.dequant8x8(levels, qp)
+                    res = TR.inverse8x8(coef.astype(np.int64))
+                    out[joff : joff + 8, ioff : ioff + 8] = _add_residual(
+                        pred_y[joff : joff + 8, ioff : ioff + 8], res, self.max_y
+                    )
+                else:
+                    out[joff : joff + 8, ioff : ioff + 8] = pred_y[
+                        joff : joff + 8, ioff : ioff + 8
+                    ]
+            rec = out
+        else:
+            out = np.empty((16, 16), np.int32)
+            for blk in range(16):
+                bx, by = M.BLK4_TO_XY[blk]
+                ioff, joff = int(bx) * 4, int(by) * 4
+                levels = st.luma_levels[addr, blk]
+                if levels.any():
+                    coef = Q.dequant4x4(levels, qp)
+                    res = TR.inverse4x4(coef.astype(np.int64))
+                    out[joff : joff + 4, ioff : ioff + 4] = _add_residual(
+                        pred_y[joff : joff + 4, ioff : ioff + 4], res, self.max_y
+                    )
+                else:
+                    out[joff : joff + 4, ioff : ioff + 4] = pred_y[
+                        joff : joff + 4, ioff : ioff + 4
+                    ]
+            rec = out
+        pl.Y[my : my + 16, mx : mx + 16] = rec
+
+        # --- chroma residual ---
+        cx, cy = (addr % W) * cw, (addr // W) * ch
+        for uv, (plane, pred) in enumerate(((pl.U, pred_u), (pl.V, pred_v))):
+            qp_c = int(st.qpc[addr, uv])
+            self._chroma_residual_inter(addr, uv, plane, pred, cx, cy, qp_c)
+
+    def _chroma_residual_inter(self, addr, uv, plane, pred, cx, cy, qp_c):
+        st = self.st
+        cw, ch = self.sps.mb_chroma_size
+        dch = TR.hadamard2x2(st.chroma_dc[addr, uv].astype(np.int64))
+        dc = Q.dequant_chroma_dc(dch, qp_c)
+        rec = np.empty((ch, cw), np.int32)
+        for blk in range(4):
+            bx, by = blk & 1, blk >> 1
+            levels = st.chroma_levels[addr, uv, blk]
+            coef = Q.dequant4x4(levels, qp_c).astype(np.int64)
+            coef[0, 0] = dc[by, bx]
+            if coef.any():
+                res = TR.inverse4x4(coef)
+                rec[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = _add_residual(
+                    pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4], res, self.max_c
+                )
+            else:
+                rec[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = pred[
+                    by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4
+                ]
         plane[cy : cy + ch, cx : cx + cw] = rec
