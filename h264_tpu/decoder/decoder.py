@@ -17,6 +17,7 @@ from ..ops.deblock import deblock_picture
 from ..syntax.parsets import PPS, SPS, parse_pps, parse_sps
 from ..syntax.slice_header import SliceHeader, SliceType, parse_slice_header
 from .cabac_mb import CabacSliceParser
+from .cavlc_mb import CavlcSliceParser
 from .dpb import DPB
 from .mv import compute_moving_mask, derive_mvs
 from .recon import PictureReconstructor, Planes
@@ -157,10 +158,11 @@ class H264Decoder:
     def _parse_slice(self, pending, rbsp: bytes, sh: SliceHeader, sps, pps):
         state = pending["state"]
         sid = len(pending["slices"])
-        if not pps.entropy_coding_mode_flag:
-            raise NotImplementedError("CAVLC slice decode")
-        parser = CabacSliceParser(rbsp, sh, sps, pps, state, sid)
-        parser.trace = None
+        if pps.entropy_coding_mode_flag:
+            parser = CabacSliceParser(rbsp, sh, sps, pps, state, sid)
+            parser.trace = None
+        else:
+            parser = CavlcSliceParser(rbsp, sh, sps, pps, state, sid)
         parser.parse()
         pending["slices"].append(sh)
 

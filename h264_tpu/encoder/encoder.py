@@ -1,0 +1,646 @@
+"""H.264 encoder: Baseline-profile I/P CAVLC encoder (M2 slice).
+
+Architecture (SURVEY.md §7): motion estimation runs as whole-frame
+batched SAD grids on device (me.py); the MB loop is host-sequential for
+the entropy/prediction dependency chain, using the same exact-integer
+kernels as the decoder (ops/) so the encoder reconstruction is identical
+to any conformant decoder's output; deblocking and bitstream writing are
+shared with the decoder modules.
+
+Capability reference: md_low-style cost decisions (lencod/src/md_low.c),
+full-search ME (me_fullfast.c), fixed QP.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream import NalUnit, write_annexb
+from ..bitstream.writer import BitWriter
+from ..decoder import mbtables as M
+from ..decoder.mv import pmv as predict_mv, _pskip_mv, _neighbor_info
+from ..decoder.recon import Planes, _add_residual
+from ..decoder.state import PictureParseState
+from ..ops import interp as MC
+from ..ops import intra as IP
+from ..ops import quant as Q
+from ..ops import transforms as TR
+from ..ops.deblock import deblock_picture
+from ..ops.exact import chroma_qp
+from ..syntax.parsets import PPS, SPS, write_pps, write_sps
+from ..syntax.slice_header import SliceHeader, SliceType, write_slice_header
+from . import me as ME
+from .syntax_cavlc import CavlcSliceWriter
+
+_ZZ4 = M.ZZ_SCAN_4x4
+
+
+@dataclass
+class EncoderConfig:
+    width: int
+    height: int
+    qp: int = 28
+    search_range: int = 16
+    idr_period: int = 0  # 0: only first frame is IDR
+    enable_i4: bool = True
+    enable_deblock: bool = True
+    subpel: bool = True
+    num_ref_frames: int = 1
+
+
+class H264Encoder:
+    def __init__(self, cfg: EncoderConfig):
+        assert cfg.width % 16 == 0 and cfg.height % 16 == 0
+        self.cfg = cfg
+        self.sps = SPS(
+            profile_idc=66,
+            level_idc=30,
+            num_ref_frames=cfg.num_ref_frames,
+            pic_width_in_mbs_minus1=cfg.width // 16 - 1,
+            pic_height_in_map_units_minus1=cfg.height // 16 - 1,
+            pic_order_cnt_type=2,
+            log2_max_frame_num_minus4=4,
+        )
+        self.pps = PPS(entropy_coding_mode_flag=False)
+        self.frame_num = 0
+        self.idr_count = 0
+        self.recon_pics: list = []  # (poc, planes, state, padded)
+        lam = 0.85 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        self.lambda_me = int(np.sqrt(lam) * 65536 + 0.5)
+        self.lambda_mode = lam
+
+    # ------------------------------------------------------------------
+    def headers(self) -> list[NalUnit]:
+        return [
+            NalUnit(7, 3, write_sps(self.sps)),
+            NalUnit(8, 3, write_pps(self.pps)),
+        ]
+
+    def encode_sequence(self, frames) -> bytes:
+        """frames: list of (Y, U, V) uint8 arrays. Returns Annex-B bytes."""
+        nalus = self.headers()
+        for idx, yuv in enumerate(frames):
+            is_idr = idx == 0 or (
+                self.cfg.idr_period and idx % self.cfg.idr_period == 0
+            )
+            nalus.extend(self.encode_frame(yuv, is_idr))
+        return write_annexb(nalus)
+
+    # ------------------------------------------------------------------
+    def encode_frame(self, yuv, is_idr: bool) -> list[NalUnit]:
+        cfg = self.cfg
+        Y = np.asarray(yuv[0], np.int32)
+        U = np.asarray(yuv[1], np.int32)
+        V = np.asarray(yuv[2], np.int32)
+        sps, pps = self.sps, self.pps
+        W, H = sps.pic_width_in_mbs, sps.frame_height_in_mbs
+        st = PictureParseState(W, H)
+        planes = Planes(sps)
+        if is_idr:
+            self.recon_pics.clear()
+            self.frame_num = 0
+        stype = SliceType.I if is_idr else SliceType.P
+        qp = cfg.qp
+
+        st.slice_id[:] = 0
+        st.qp[:] = qp
+        cb_off, cr_off = pps.chroma_qp_offset
+        st.qpc[:, 0] = chroma_qp(qp, cb_off)
+        st.qpc[:, 1] = chroma_qp(qp, cr_off)
+
+        # device ME pass (whole frame at once)
+        sad_grids = None
+        ref = None
+        if stype == SliceType.P:
+            ref = self.recon_pics[-1]
+            sad_grids = ME.compute_sad_grids(Y, np.asarray(ref[1].Y), cfg.search_range)
+
+        enc = _FrameEncoder(self, st, planes, Y, U, V, stype, qp, ref, sad_grids)
+        for addr in range(st.n_mbs):
+            enc.encode_mb(addr)
+
+        if cfg.enable_deblock:
+            deblock_picture(st, sps, planes)
+
+        # bitstream
+        sh = SliceHeader(
+            slice_type_code=stype.value,
+            frame_num=self.frame_num % sps.max_frame_num,
+            is_idr=is_idr,
+            nal_ref_idc=3,
+            idr_pic_id=self.idr_count % 2,
+            slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
+        )
+        w = write_slice_header(sh, sps, pps)
+        writer = CavlcSliceWriter(st, sps, pps, sh)
+        writer.write_slice_data(w, list(range(st.n_mbs)))
+        w.rbsp_trailing_bits()
+        nal = NalUnit(5 if is_idr else 1, 3, w.get_bytes())
+
+        poc = 2 * self.frame_num
+        padded = (
+            MC.pad_plane(planes.Y),
+            MC.pad_plane(planes.U),
+            MC.pad_plane(planes.V),
+        )
+        self.recon_pics = [(poc, planes, st, padded)][:] if is_idr else (
+            (self.recon_pics + [(poc, planes, st, padded)])[-self.cfg.num_ref_frames:]
+        )
+        self.frame_num += 1
+        if is_idr:
+            self.idr_count += 1
+        return [nal]
+
+
+class _FrameEncoder:
+    """Per-frame MB encoding loop (decision + quant + recon)."""
+
+    def __init__(self, parent, st, planes, Y, U, V, stype, qp, ref, sad_grids):
+        self.p = parent
+        self.st = st
+        self.pl = planes
+        self.Y, self.U, self.V = Y, U, V
+        self.stype = stype
+        self.qp = qp
+        self.qpc = (int(st.qpc[0, 0]), int(st.qpc[0, 1]))
+        self.ref = ref  # (poc, planes, state, padded) or None
+        self.sad_grids = sad_grids
+        self.sps = parent.sps
+        self.pps = parent.pps
+        self.R = parent.cfg.search_range
+        self.W = st.W
+
+    # ------------------------------------------------------------------
+    def encode_mb(self, addr: int):
+        st = self.st
+        # decoder convention: ipredmode defaults to DC for every MB; I4
+        # overwrites per block (neighbors' MPM depends on this)
+        x4, y4 = st.mb_block_origin(addr)
+        st.ipredmode[y4 : y4 + 4, x4 : x4 + 4] = 2
+        if self.stype == SliceType.P:
+            inter = self._try_inter(addr)
+            intra = self._intra_cost(addr)
+            if inter[0] <= intra[0]:
+                self._commit_inter(addr, inter)
+                return
+            self._commit_intra(addr, intra)
+        else:
+            intra = self._intra_cost(addr)
+            self._commit_intra(addr, intra)
+
+    # ------------------------------------------------------------------
+    # intra
+    # ------------------------------------------------------------------
+    def _mb_px(self, addr):
+        return (addr % self.W) * 16, (addr // self.W) * 16
+
+    def _intra_avail(self, addr):
+        st = self.st
+        up = st.mb_up(addr)
+        left = st.mb_left(addr)
+        ula, ulmb, *_ = st.luma4x4_neighbor(addr, -1, -1)
+        return up >= 0, left >= 0, ula
+
+    def _intra_cost(self, addr: int):
+        """Choose I16 mode (and later compare vs I4). Returns
+        (cost, 'I16', mode) or (cost, 'I4', None)."""
+        mx, my = self._mb_px(addr)
+        orig = self.Y[my : my + 16, mx : mx + 16]
+        au, al, aul = self._intra_avail(addr)
+        Yp = self.pl.Y
+        up = Yp[my - 1, mx : mx + 16] if au else np.zeros(16, np.int32)
+        left = Yp[my : my + 16, mx - 1] if al else np.zeros(16, np.int32)
+        upleft = int(Yp[my - 1, mx - 1]) if aul else 0
+        best = (1 << 60, None)
+        for mode in range(4):
+            if mode == IP.VERT_PRED_16 and not au:
+                continue
+            if mode == IP.HOR_PRED_16 and not al:
+                continue
+            if mode == IP.PLANE_16 and not (au and al and aul):
+                continue
+            pred = IP.pred16x16(mode, up, left, upleft, au, al, aul)
+            cost = int(np.abs(orig - pred).sum())
+            if cost < best[0]:
+                best = (cost, mode)
+        i16_cost, i16_mode = best
+        if self.p.cfg.enable_i4:
+            # I4 estimated cost: per-block best SAD against current recon
+            # neighbors (approximation: decision uses predicted-from-recon
+            # so committed recon matches; see _commit_i4)
+            i4_cost = self._i4_estimate(addr)
+            bias = int(6 * self.p.lambda_mode)
+            if i4_cost + bias < i16_cost:
+                return (i4_cost + bias, "I4", None)
+        return (i16_cost, "I16", i16_mode)
+
+    def _i4_estimate(self, addr: int) -> int:
+        """Sum of per-block best-mode SADs using original (not recon)
+        neighbors — a fast estimate for the I16-vs-I4 choice only."""
+        mx, my = self._mb_px(addr)
+        au, al, _ = self._intra_avail(addr)
+        total = 0
+        Yp = self.pl.Y
+        for blk in range(16):
+            bx, by = (int(v) for v in M.BLK4_TO_XY[blk])
+            px, py = mx + bx * 4, my + by * 4
+            orig = self.Y[py : py + 4, px : px + 4]
+            bu = au or by > 0
+            bl = al or bx > 0
+            up = self.Y[py - 1, px : px + 4] if bu else None
+            left = self.Y[py : py + 4, px - 1] if bl else None
+            cands = [IP.DC_PRED]
+            if bu:
+                cands.append(IP.VERT_PRED)
+            if bl:
+                cands.append(IP.HOR_PRED)
+            bestc = 1 << 60
+            for mode in cands:
+                pred = IP.pred4x4(
+                    mode,
+                    up.tolist() if up is not None else None,
+                    None,
+                    left.tolist() if left is not None else None,
+                    0,
+                    bu,
+                    bl,
+                    False,
+                    False,
+                )
+                c = int(np.abs(orig - pred).sum())
+                bestc = min(bestc, c)
+            total += bestc + 60  # ~4*lambda mode bits
+        return total
+
+    def _commit_intra(self, addr: int, intra):
+        _, kind, mode = intra
+        if kind == "I16":
+            self._commit_i16(addr, mode)
+        else:
+            self._commit_i4(addr)
+        self._encode_chroma_intra(addr)
+        self.st.is_intra[addr] = 1
+
+    # -- I16 ----------------------------------------------------------
+    def _commit_i16(self, addr: int, mode: int):
+        st, pl = self.st, self.pl
+        mx, my = self._mb_px(addr)
+        orig = self.Y[my : my + 16, mx : mx + 16]
+        au, al, aul = self._intra_avail(addr)
+        Yp = pl.Y
+        up = Yp[my - 1, mx : mx + 16] if au else np.zeros(16, np.int32)
+        left = Yp[my : my + 16, mx - 1] if al else np.zeros(16, np.int32)
+        upleft = int(Yp[my - 1, mx - 1]) if aul else 0
+        pred = IP.pred16x16(mode, up, left, upleft, au, al, aul)
+        res = orig - pred
+        qp = self.qp
+        # 4x4 transforms of all 16 blocks
+        blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        # reorder rows: we want Z-order per BLK4; build raster-order (r, c)
+        blk_rc = res.reshape(4, 4, 4, 4).swapaxes(1, 2)  # [br][bc][4][4]
+        coefs = TR.forward4x4(blk_rc.astype(np.int64))
+        dc = coefs[:, :, 0, 0].copy()  # [br][bc]
+        # DC path: hadamard + quant
+        dch = TR.hadamard4x4(dc) >> 1  # JM: (hadamard)>>1 before quant
+        dc_lev = Q.quant_luma_dc(dch, qp, intra=True)
+        st.luma_dc[addr] = dc_lev
+        if dc_lev.any():
+            st.cbp_blk[addr] |= 1
+        # AC path
+        offset = Q.default_offset4(qp, True)
+        lev = Q.quant4x4(coefs, qp, offset)
+        lev[:, :, 0, 0] = 0
+        cbp_ac = 0
+        for br in range(4):
+            for bc in range(4):
+                blk = int(M.XY_TO_BLK4[br, bc])
+                if lev[br, bc].any():
+                    cbp_ac = 15
+                    st.cbp_blk[addr] |= 1 << (4 * br + bc)
+                st.luma_levels[addr, blk] = lev[br, bc]
+        st.mb_type[addr] = M.I16MB
+        st.i16mode[addr] = mode
+        st.cbp[addr] = cbp_ac
+        # reconstruct exactly like the decoder
+        dc_deq = Q.dequant_luma_dc(TR.hadamard4x4(dc_lev.astype(np.int64)), qp)
+        rec = np.empty((16, 16), np.int32)
+        for br in range(4):
+            for bc in range(4):
+                blk = int(M.XY_TO_BLK4[br, bc])
+                coef = Q.dequant4x4(st.luma_levels[addr, blk], qp).astype(np.int64)
+                coef[0, 0] = dc_deq[br, bc]
+                r4 = TR.inverse4x4(coef)
+                rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = _add_residual(
+                    pred[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4], r4
+                )
+        pl.Y[my : my + 16, mx : mx + 16] = rec
+
+    # -- I4 -----------------------------------------------------------
+    def _commit_i4(self, addr: int):
+        st, pl = self.st, self.pl
+        mx, my = self._mb_px(addr)
+        qp = self.qp
+        x4o, y4o = st.mb_block_origin(addr)
+        st.mb_type[addr] = M.I4MB
+        st.is_intra[addr] = 1  # needed for in-MB neighbor decisions
+        st.b8mode[addr] = M.IBLOCK
+        st.b8pdir[addr] = -1
+        offset = Q.default_offset4(qp, True)
+        cbp = 0
+        for blk in range(16):
+            bx, by = (int(v) for v in M.BLK4_TO_XY[blk])
+            ioff, joff = bx * 4, by * 4
+            px, py = mx + ioff, my + joff
+            orig = self.Y[py : py + 4, px : px + 4]
+            pred, mode = self._best_i4_block(addr, ioff, joff, px, py, orig)
+            st.ipredmode[y4o + by, x4o + bx] = mode
+            res = (orig - pred).astype(np.int64)
+            coef = TR.forward4x4(res)
+            lev = Q.quant4x4(coef, qp, offset)
+            if lev.any():
+                st.luma_levels[addr, blk] = lev
+                cbp |= 1 << (2 * (by // 2) + (bx // 2))
+                st.cbp_blk[addr] |= 1 << (4 * by + bx)
+                deq = Q.dequant4x4(lev, qp).astype(np.int64)
+                rec = _add_residual(pred, TR.inverse4x4(deq))
+            else:
+                rec = pred
+            pl.Y[py : py + 4, px : px + 4] = rec
+        st.cbp[addr] = cbp
+
+    def _best_i4_block(self, addr, ioff, joff, px, py, orig):
+        st, pl = self.st, self.pl
+        la, lmb, *_ = st.luma4x4_neighbor(addr, ioff - 1, joff)
+        ua, umb, *_ = st.luma4x4_neighbor(addr, ioff, joff - 1)
+        ura, urmb, *_ = st.luma4x4_neighbor(addr, ioff + 4, joff - 1)
+        ula, ulmb, *_ = st.luma4x4_neighbor(addr, ioff - 1, joff - 1)
+        if ioff == 4 and (joff == 4 or joff == 12):
+            ura = False
+        if self.pps.constrained_intra_pred_flag:
+            la = la and bool(st.is_intra[lmb])
+            ua = ua and bool(st.is_intra[umb])
+            ura = ura and bool(st.is_intra[urmb])
+            ula = ula and bool(st.is_intra[ulmb])
+        Yp = pl.Y
+        up = Yp[py - 1, px : px + 4].tolist() if ua else None
+        upright = Yp[py - 1, px + 4 : px + 8].tolist() if ura else None
+        left = Yp[py : py + 4, px - 1].tolist() if la else None
+        upleft = int(Yp[py - 1, px - 1]) if ula else 0
+        # candidate modes by availability (spec constraints)
+        cands = [IP.DC_PRED]
+        if ua:
+            cands += [IP.VERT_PRED, IP.DIAG_DOWN_LEFT_PRED, IP.VERT_LEFT_PRED]
+        if la:
+            cands += [IP.HOR_PRED, IP.HOR_UP_PRED]
+        if ua and la and ula:
+            cands += [IP.DIAG_DOWN_RIGHT_PRED, IP.VERT_RIGHT_PRED, IP.HOR_DOWN_PRED]
+        mpm = self._mpm(addr, ioff >> 2, joff >> 2)
+        best = (1 << 60, None, None)
+        for mode in cands:
+            pred = IP.pred4x4(mode, up, upright, left, upleft, ua, la, ula, ura)
+            cost = int(np.abs(orig - pred).sum())
+            if mode != mpm:
+                cost += int(self.p.lambda_mode * 4)
+            if cost < best[0]:
+                best = (cost, pred, mode)
+        return best[1], best[2]
+
+    def _mpm(self, addr, bx, by):
+        st = self.st
+        la, lmb, _, _, lx, ly = st.luma4x4_neighbor(addr, (bx << 2) - 1, by << 2)
+        ua, umb, _, _, ux, uy = st.luma4x4_neighbor(addr, bx << 2, (by << 2) - 1)
+        if self.pps.constrained_intra_pred_flag:
+            la = la and bool(st.is_intra[lmb])
+            ua = ua and bool(st.is_intra[umb])
+        left_m = int(st.ipredmode[ly, lx]) if la else -1
+        up_m = int(st.ipredmode[uy, ux]) if ua else -1
+        return 2 if (left_m < 0 or up_m < 0) else min(left_m, up_m)
+
+    # -- chroma (intra) -------------------------------------------------
+    def _encode_chroma_intra(self, addr: int):
+        st, pl = self.st, self.pl
+        cw, ch = self.sps.mb_chroma_size
+        cx, cy = (addr % self.W) * cw, (addr // self.W) * ch
+        au, al, aul = self._intra_avail(addr)
+        best = (1 << 60, 0)
+        for mode in range(4):
+            if mode == IP.HOR_PRED_8 and not al:
+                continue
+            if mode == IP.VERT_PRED_8 and not au:
+                continue
+            if mode == IP.PLANE_8 and not (au and al and aul):
+                continue
+            cost = 0
+            for orig_plane, rec_plane in ((self.U, pl.U), (self.V, pl.V)):
+                up = rec_plane[cy - 1, cx : cx + cw] if au else np.zeros(cw, np.int32)
+                left = rec_plane[cy : cy + ch, cx - 1] if al else np.zeros(ch, np.int32)
+                upleft = int(rec_plane[cy - 1, cx - 1]) if (au and al and aul) else 0
+                pred = IP.pred_chroma(mode, up, left, upleft, au, al, cw, ch)
+                cost += int(
+                    np.abs(orig_plane[cy : cy + ch, cx : cx + cw] - pred).sum()
+                )
+            if cost < best[0]:
+                best = (cost, mode)
+        mode = best[1]
+        st.c_ipred_mode[addr] = mode
+        self._chroma_residual(addr, mode=mode, mc_pred=None)
+
+    def _chroma_residual(self, addr: int, mode=None, mc_pred=None):
+        """Quantize chroma residual (intra pred mode or MC pred given) and
+        reconstruct; updates cbp chroma bits."""
+        st, pl = self.st, self.pl
+        cw, ch = self.sps.mb_chroma_size
+        cx, cy = (addr % self.W) * cw, (addr // self.W) * ch
+        au, al, aul = self._intra_avail(addr)
+        cbp_c = 0  # 0 none, 1 dc only, 2 ac
+        intra = bool(st.is_intra[addr]) or mode is not None
+        recs = []
+        all_dc_levels = []
+        all_ac_levels = []
+        for uv, (orig_plane, rec_plane) in enumerate(((self.U, pl.U), (self.V, pl.V))):
+            qp_c = int(st.qpc[addr, uv])
+            if mc_pred is not None:
+                pred = mc_pred[uv]
+            else:
+                up = rec_plane[cy - 1, cx : cx + cw] if au else np.zeros(cw, np.int32)
+                left = rec_plane[cy : cy + ch, cx - 1] if al else np.zeros(ch, np.int32)
+                upleft = int(rec_plane[cy - 1, cx - 1]) if (au and al and aul) else 0
+                pred = IP.pred_chroma(mode, up, left, upleft, au, al, cw, ch)
+            orig = orig_plane[cy : cy + ch, cx : cx + cw]
+            res = (orig - pred).astype(np.int64)
+            blk_rc = res.reshape(2, 4, 2, 4).swapaxes(1, 2)  # [br][bc][4][4]
+            coefs = TR.forward4x4(blk_rc)
+            dc = coefs[:, :, 0, 0].copy()
+            dch = TR.hadamard2x2(dc)
+            dc_lev = Q.quant_chroma_dc(dch, qp_c, intra)
+            st.chroma_dc[addr, uv] = dc_lev
+            offset = Q.default_offset4(qp_c, intra)
+            lev = Q.quant4x4(coefs, qp_c, offset)
+            lev[:, :, 0, 0] = 0
+            for br in range(2):
+                for bc in range(2):
+                    st.chroma_levels[addr, uv, br * 2 + bc] = lev[br, bc]
+            if lev.any():
+                cbp_c = 2
+            elif dc_lev.any():
+                cbp_c = max(cbp_c, 1)
+            all_dc_levels.append(dc_lev)
+            all_ac_levels.append(lev)
+            recs.append((pred, qp_c))
+        # reconstruct
+        for uv, (orig_plane, rec_plane) in enumerate(((self.U, pl.U), (self.V, pl.V))):
+            pred, qp_c = recs[uv]
+            dch2 = TR.hadamard2x2(st.chroma_dc[addr, uv].astype(np.int64))
+            dc_deq = Q.dequant_chroma_dc(dch2, qp_c)
+            rec = np.empty((ch, cw), np.int32)
+            for br in range(2):
+                for bc in range(2):
+                    coef = Q.dequant4x4(
+                        st.chroma_levels[addr, uv, br * 2 + bc], qp_c
+                    ).astype(np.int64)
+                    coef[0, 0] = dc_deq[br, bc]
+                    if coef.any():
+                        r4 = TR.inverse4x4(coef)
+                        rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = _add_residual(
+                            pred[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4], r4
+                        )
+                    else:
+                        rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = pred[
+                            br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4
+                        ]
+            rec_plane[cy : cy + ch, cx : cx + cw] = rec
+        st.cbp[addr] = int(st.cbp[addr]) + 16 * cbp_c
+
+    # ------------------------------------------------------------------
+    # inter
+    # ------------------------------------------------------------------
+    def _try_inter(self, addr: int):
+        """16x16 ME: grid lookup + MV cost + subpel refine.
+        Returns (cost, mv, pred_y)."""
+        st = self.st
+        mbx, mby = addr % self.W, addr // self.W
+        R = self.R
+        grid = self.sad_grids[:, :, mby, mbx]  # (2R+1, 2R+1)
+        px, py = predict_mv(st, addr, 0, 0, 0, 0, 4, 4)
+        lam = self.p.lambda_me
+        # integer search with MV cost
+        dyx = np.indices(grid.shape)
+        mvx_q = (dyx[1] - R) * 4
+        mvy_q = (dyx[0] - R) * 4
+        costs = grid.astype(np.int64)
+        # vectorized mv bit cost
+        bits = _mv_bits_vec(mvx_q - px) + _mv_bits_vec(mvy_q - py)
+        costs = costs + ((lam * bits) >> 16)
+        best_flat = int(np.argmin(costs))
+        bdy, bdx = divmod(best_flat, 2 * R + 1)
+        best_mv = ((bdx - R) * 4, (bdy - R) * 4)
+        best_cost = int(costs[bdy, bdx])
+        mx, my = self._mb_px(addr)
+        orig = self.Y[my : my + 16, mx : mx + 16]
+        Ypad = self.ref[3][0]
+        if self.p.cfg.subpel:
+            for step in (2, 1):  # half then quarter
+                center = best_mv
+                for ddy in (-step, 0, step):
+                    for ddx in (-step, 0, step):
+                        if ddx == 0 and ddy == 0:
+                            continue
+                        mv = (center[0] + ddx, center[1] + ddy)
+                        pred = self._mc_luma(Ypad, mx, my, mv, 16, 16)
+                        c = int(np.abs(orig - pred).sum())
+                        c += (lam * (ME.mv_bits(mv[0] - px) + ME.mv_bits(mv[1] - py))) >> 16
+                        if c < best_cost:
+                            best_cost = c
+                            best_mv = mv
+        pred = self._mc_luma(Ypad, mx, my, best_mv, 16, 16)
+        return (best_cost, best_mv, pred, (px, py))
+
+    def _mc_luma(self, Ypad, px, py, mv, w, h):
+        width, height = self.sps.width, self.sps.height
+        xi = px + (mv[0] >> 2)
+        yi = py + (mv[1] >> 2)
+        dx, dy = mv[0] & 3, mv[1] & 3
+        xi = max(-(MC.PAD - 8), min(width + MC.PAD - w - 8, xi))
+        yi = max(-(MC.PAD - 8), min(height + MC.PAD - h - 8, yi))
+        return MC.luma_block(Ypad, MC.PAD, xi, yi, dx, dy, w, h)
+
+    def _commit_inter(self, addr: int, inter):
+        st, pl = self.st, self.pl
+        _, mv, pred, (pmx, pmy) = inter
+        mx, my = self._mb_px(addr)
+        x4, y4 = st.mb_block_origin(addr)
+        qp = self.qp
+        orig = self.Y[my : my + 16, mx : mx + 16]
+        res = (orig - pred).astype(np.int64)
+        blk_rc = res.reshape(4, 4, 4, 4).swapaxes(1, 2)
+        coefs = TR.forward4x4(blk_rc)
+        offset = Q.default_offset4(qp, False)
+        lev = Q.quant4x4(coefs, qp, offset)
+        cbp = 0
+        for br in range(4):
+            for bc in range(4):
+                blk = int(M.XY_TO_BLK4[br, bc])
+                if lev[br, bc].any():
+                    st.luma_levels[addr, blk] = lev[br, bc]
+                    cbp |= 1 << (2 * (br // 2) + (bc // 2))
+                    st.cbp_blk[addr] |= 1 << (4 * br + bc)
+        st.mb_type[addr] = M.P16x16
+        st.b8mode[addr] = 1
+        st.b8pdir[addr] = 0
+        st.ref_idx[0, y4 : y4 + 4, x4 : x4 + 4] = 0
+        st.mv[0, y4 : y4 + 4, x4 : x4 + 4] = mv
+        st.ref_pic_id[0, y4 : y4 + 4, x4 : x4 + 4] = self.ref[0]
+        st.mvd[0, y4 : y4 + 4, x4 : x4 + 4] = (mv[0] - pmx, mv[1] - pmy)
+        st.cbp[addr] = cbp
+
+        # chroma MC prediction
+        cw, ch = self.sps.mb_chroma_size
+        cwidth, cheight = self.sps.width >> 1, self.sps.height >> 1
+        preds_c = []
+        for plane_pad in (self.ref[3][1], self.ref[3][2]):
+            cx_full = (mx >> 1) + (mv[0] >> 3)
+            cy_full = (my >> 1) + (mv[1] >> 3)
+            fx, fy = mv[0] & 7, mv[1] & 7
+            cx_full = max(-(MC.PAD - 4), min(cwidth + MC.PAD - cw - 4, cx_full))
+            cy_full = max(-(MC.PAD - 4), min(cheight + MC.PAD - ch - 4, cy_full))
+            preds_c.append(
+                MC.chroma_block(plane_pad, MC.PAD, cx_full, cy_full, fx, fy, cw, ch)
+            )
+        self._chroma_residual(addr, mc_pred=preds_c)
+
+        cbp = int(st.cbp[addr])
+        # P_Skip detection: 16x16, ref0, mv == pskip predictor, no residual
+        if cbp == 0:
+            skip_mv = _pskip_mv(st, addr)
+            if tuple(skip_mv) == tuple(mv):
+                st.skip_flag[addr] = 1
+                st.mb_type[addr] = M.PSKIP
+                st.b8mode[addr] = 0
+                st.mvd[0, y4 : y4 + 4, x4 : x4 + 4] = 0
+
+        # luma recon
+        rec = np.empty((16, 16), np.int32)
+        for br in range(4):
+            for bc in range(4):
+                blk = int(M.XY_TO_BLK4[br, bc])
+                levels = st.luma_levels[addr, blk]
+                if levels.any():
+                    deq = Q.dequant4x4(levels, qp).astype(np.int64)
+                    rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = _add_residual(
+                        pred[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4],
+                        TR.inverse4x4(deq),
+                    )
+                else:
+                    rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = pred[
+                        br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4
+                    ].clip(0, 255)
+        pl.Y[my : my + 16, mx : mx + 16] = rec
+
+
+def _mv_bits_vec(d):
+    """Vectorized se(v) code length: 2*bitlength(k+1) - 1."""
+    k = 2 * np.abs(d.astype(np.int64)) - (d > 0)
+    bl = np.floor(np.log2(k + 1)).astype(np.int64) + 1
+    return 2 * bl - 1
