@@ -33,6 +33,7 @@ from ..syntax.parsets import PPS, SPS, write_pps, write_sps
 from ..syntax.slice_header import SliceHeader, SliceType, write_slice_header
 from . import me as ME
 from .syntax_cavlc import CavlcSliceWriter
+from . import fast as FAST
 
 _ZZ4 = M.ZZ_SCAN_4x4
 
@@ -48,6 +49,7 @@ class EncoderConfig:
     enable_deblock: bool = True
     subpel: bool = True
     num_ref_frames: int = 1
+    fast: bool = False  # device-batched P-frame pipeline
 
 
 class H264Encoder:
@@ -113,13 +115,17 @@ class H264Encoder:
         # device ME pass (whole frame at once)
         sad_grids = None
         ref = None
-        if stype == SliceType.P:
-            ref = self.recon_pics[-1]
-            sad_grids = ME.compute_sad_grids(Y, np.asarray(ref[1].Y), cfg.search_range)
-
-        enc = _FrameEncoder(self, st, planes, Y, U, V, stype, qp, ref, sad_grids)
-        for addr in range(st.n_mbs):
-            enc.encode_mb(addr)
+        if stype == SliceType.P and cfg.fast:
+            self._encode_p_fast(st, planes, Y, U, V, qp)
+        else:
+            if stype == SliceType.P:
+                ref = self.recon_pics[-1]
+                sad_grids = ME.compute_sad_grids(
+                    Y, np.asarray(ref[1].Y), cfg.search_range
+                )
+            enc = _FrameEncoder(self, st, planes, Y, U, V, stype, qp, ref, sad_grids)
+            for addr in range(st.n_mbs):
+                enc.encode_mb(addr)
 
         if cfg.enable_deblock:
             deblock_picture(st, sps, planes)
@@ -140,11 +146,14 @@ class H264Encoder:
         nal = NalUnit(5 if is_idr else 1, 3, w.get_bytes())
 
         poc = 2 * self.frame_num
-        padded = (
-            MC.pad_plane(planes.Y),
-            MC.pad_plane(planes.U),
-            MC.pad_plane(planes.V),
-        )
+        if self.cfg.fast:
+            padded = FAST.ref_resources(planes)
+        else:
+            padded = (
+                MC.pad_plane(planes.Y),
+                MC.pad_plane(planes.U),
+                MC.pad_plane(planes.V),
+            )
         self.recon_pics = [(poc, planes, st, padded)][:] if is_idr else (
             (self.recon_pics + [(poc, planes, st, padded)])[-self.cfg.num_ref_frames:]
         )
@@ -152,6 +161,90 @@ class H264Encoder:
         if is_idr:
             self.idr_count += 1
         return [nal]
+
+    # ------------------------------------------------------------------
+    def _encode_p_fast(self, st, planes, Y, U, V, qp):
+        import jax.numpy as jnp
+        from ..decoder.mv import pmv as _pmv, _pskip_mv as _pskip
+
+        cfg = self.cfg
+        sps = self.sps
+        H, W = sps.height, sps.width
+        ref = self.recon_pics[-1]
+        Ypad, bpl, hpl, jpl, Upad, Vpad = ref[3]
+        qp_c = int(st.qpc[0, 0])
+        out = FAST.p_frame_device(
+            jnp.asarray(Y, jnp.int32), jnp.asarray(U, jnp.int32),
+            jnp.asarray(V, jnp.int32), Ypad, bpl, hpl, jpl, Upad, Vpad,
+            H=H, W=W, R=min(cfg.search_range, 16), qp=qp, qp_c=qp_c,
+            lambda_me=self.lambda_me,
+        )
+        import jax as _jax
+
+        (mvx, mvy, lev, rec_y, lev_u, dc_u, rec_u, lev_v, dc_v, rec_v, _sad0) = (
+            _jax.device_get(out)
+        )
+        planes.Y[:] = rec_y
+        planes.U[:] = rec_u
+        planes.V[:] = rec_v
+        n_mx = W // 16
+        n_my = H // 16
+        n_mb = st.n_mbs
+        ref_id = ref[0]
+        # ---- vectorized state fill ----
+        st.ipredmode[:] = 2
+        st.mb_type[:] = M.P16x16
+        st.b8mode[:] = 1
+        st.b8pdir[:] = 0
+        st.ref_idx[0] = 0
+        mvs = np.stack([mvx, mvy], axis=-1).reshape(n_my, n_mx, 2)
+        st.mv[0] = np.repeat(np.repeat(mvs, 4, axis=0), 4, axis=1).reshape(
+            4 * st.H, 4 * st.W, 2
+        )
+        st.ref_pic_id[0] = ref_id
+        # luma levels: (H/4, W/4, 4, 4) -> (nMB, 16 Z-order, 4, 4)
+        lv = lev.reshape(n_my, 4, n_mx, 4, 4, 4).transpose(0, 2, 1, 3, 4, 5)
+        lv = lv.reshape(n_mb, 4, 4, 4, 4)
+        zperm = np.empty(16, np.int64)
+        for br in range(4):
+            for bc in range(4):
+                zperm[int(M.XY_TO_BLK4[br, bc])] = br * 4 + bc
+        st.luma_levels[:] = lv.reshape(n_mb, 16, 4, 4)[:, zperm]
+        nz4 = lv.any(axis=(3, 4))  # (nMB, 4br, 4bc)
+        # cbp luma bits per 8x8
+        q8 = nz4.reshape(n_mb, 2, 2, 2, 2).any(axis=(2, 4))  # (nMB, br8, bc8)
+        cbp_l = (
+            q8[:, 0, 0] * 1 + q8[:, 0, 1] * 2 + q8[:, 1, 0] * 4 + q8[:, 1, 1] * 8
+        )
+        # cbp_blk raster bitmap
+        weights = (1 << np.arange(16, dtype=np.int64)).reshape(4, 4)
+        cbp_blk = (nz4 * weights).sum(axis=(1, 2))
+        st.cbp_blk = cbp_blk.tolist()
+        # chroma
+        cbp_c = np.zeros(n_mb, np.int32)
+        for uv, (lvc, dcc) in enumerate(((lev_u, dc_u), (lev_v, dc_v))):
+            st.chroma_dc[:, uv] = dcc.reshape(n_mb, 2, 2)
+            lc = lvc.reshape(n_my, 2, n_mx, 2, 4, 4).transpose(0, 2, 1, 3, 4, 5)
+            lc = lc.reshape(n_mb, 4, 4, 4)
+            st.chroma_levels[:, uv] = lc
+            has_dc = dcc.reshape(n_mb, 4).any(axis=1)
+            has_ac = lc.any(axis=(1, 2, 3))
+            cbp_c = np.maximum(cbp_c, np.where(has_ac, 2, np.where(has_dc, 1, 0)))
+        st.cbp[:] = cbp_l + 16 * cbp_c
+        # PMV/MVD + skip detection (sequential: PMV depends on final
+        # neighbor MVs which are all known; skip flags don't affect MVs)
+        for addr in range(st.n_mbs):
+            x4, y4 = st.mb_block_origin(addr)
+            mv = (int(st.mv[0, y4, x4, 0]), int(st.mv[0, y4, x4, 1]))
+            if int(st.cbp[addr]) == 0:
+                smv = _pskip(st, addr)
+                if tuple(smv) == mv:
+                    st.skip_flag[addr] = 1
+                    st.mb_type[addr] = M.PSKIP
+                    st.b8mode[addr] = 0
+                    continue
+            p = _pmv(st, addr, 0, 0, 0, 0, 4, 4)
+            st.mvd[0, y4 : y4 + 4, x4 : x4 + 4] = (mv[0] - p[0], mv[1] - p[1])
 
 
 class _FrameEncoder:

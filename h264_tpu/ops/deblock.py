@@ -119,72 +119,74 @@ def _mv_strength(st, pxq, pyq, pxp, pyp, mvlimit=4):
 
 
 def _filter_luma_edge(Y, S, qp_avg, alpha_off, beta_off, dir_, x0, y0, max_val):
+    """Filter one luma edge (16 independent line filters, vectorized)."""
     indexA = min(51, max(0, qp_avg + alpha_off))
     indexB = min(51, max(0, qp_avg + beta_off))
     alpha = int(ALPHA_TABLE[indexA])
     beta = int(BETA_TABLE[indexB])
-    clip = CLIP_TAB[indexA]
-    for pel in range(16):
-        strng = int(S[pel])
-        if strng == 0:
-            continue
-        if dir_ == 0:
-            yy, xx = y0 + pel, x0
-            q = Y[yy, xx : xx + 4]
-            pvals = Y[yy, xx - 4 : xx]
-            L3, L2, L1, L0 = (int(v) for v in pvals)
-            R0, R1, R2, R3 = (int(v) for v in q)
-        else:
-            yy, xx = y0, x0 + pel
-            col_p = Y[yy - 4 : yy, xx]
-            col_q = Y[yy : yy + 4, xx]
-            L3, L2, L1, L0 = (int(v) for v in col_p)
-            R0, R1, R2, R3 = (int(v) for v in col_q)
-        delta = R0 - L0
-        if abs(delta) >= alpha:
-            continue
-        if abs(R0 - R1) >= beta or abs(L0 - L1) >= beta:
-            continue
-        if strng == 4:
-            RL0 = L0 + R0
-            small_gap = abs(delta) < ((alpha >> 2) + 2)
-            aq = (abs(R0 - R2) < beta) & small_gap
-            ap = (abs(L0 - L2) < beta) & small_gap
-            if ap:
-                nL2 = (((L3 + L2) << 1) + L2 + L1 + RL0 + 4) >> 3
-                nL1 = (L2 + L1 + L0 + R0 + 2) >> 2
-                nL0 = (R1 + ((L1 + RL0) << 1) + L2 + 4) >> 3
-            else:
-                nL2, nL1 = L2, L1
-                nL0 = ((L1 << 1) + L0 + R1 + 2) >> 2
-            if aq:
-                nR0 = (L1 + ((R1 + RL0) << 1) + R2 + 4) >> 3
-                nR1 = (R2 + R0 + R1 + L0 + 2) >> 2
-                nR2 = (((R3 + R2) << 1) + R2 + R1 + RL0 + 4) >> 3
-            else:
-                nR0 = ((R1 << 1) + R0 + L1 + 2) >> 2
-                nR1, nR2 = R1, R2
-            out_p = (L3, nL2, nL1, nL0)
-            out_q = (nR0, nR1, nR2, R3)
-        else:
-            C0 = int(clip[strng])
-            RL0 = (L0 + R0 + 1) >> 1
-            aq = abs(R0 - R2) < beta
-            ap = abs(L0 - L2) < beta
-            c0 = C0 + ap + aq
-            dif = max(-c0, min(c0, ((delta << 2) + (L1 - R1) + 4) >> 3))
-            nL1 = L1 + (max(-C0, min(C0, (L2 + RL0 - (L1 << 1)) >> 1)) if ap else 0)
-            nR1 = R1 + (max(-C0, min(C0, (R2 + RL0 - (R1 << 1)) >> 1)) if aq else 0)
-            nL0 = max(0, min(max_val, L0 + dif))
-            nR0 = max(0, min(max_val, R0 - dif))
-            out_p = (L3, L2, nL1, nL0)
-            out_q = (nR0, nR1, R2, R3)
-        if dir_ == 0:
-            Y[yy, xx - 4 : xx] = out_p
-            Y[yy, xx : xx + 4] = out_q
-        else:
-            Y[yy - 4 : yy, xx] = out_p
-            Y[yy : yy + 4, xx] = out_q
+    if alpha == 0:
+        return
+    clip_row = CLIP_TAB[indexA]
+    S = np.asarray(S, np.int32)
+    if dir_ == 0:
+        seg = Y[y0 : y0 + 16, x0 - 4 : x0 + 4]  # rows x pixels
+        L3, L2, L1, L0 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+        R0, R1, R2, R3 = seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7]
+    else:
+        seg = Y[y0 - 4 : y0 + 4, x0 : x0 + 16]
+        L3, L2, L1, L0 = seg[0], seg[1], seg[2], seg[3]
+        R0, R1, R2, R3 = seg[4], seg[5], seg[6], seg[7]
+    L3 = L3.astype(np.int64); L2 = L2.astype(np.int64); L1 = L1.astype(np.int64)
+    L0 = L0.astype(np.int64); R0 = R0.astype(np.int64); R1 = R1.astype(np.int64)
+    R2 = R2.astype(np.int64); R3 = R3.astype(np.int64)
+    delta = R0 - L0
+    active = (
+        (S != 0)
+        & (np.abs(delta) < alpha)
+        & (np.abs(R0 - R1) < beta)
+        & (np.abs(L0 - L1) < beta)
+    )
+    strong = active & (S == 4)
+    normal = active & (S < 4)
+
+    # --- strong (bs=4) ---
+    RL0s = L0 + R0
+    small_gap = np.abs(delta) < ((alpha >> 2) + 2)
+    aps = (np.abs(L0 - L2) < beta) & small_gap
+    aqs = (np.abs(R0 - R2) < beta) & small_gap
+    sL2 = np.where(aps, (((L3 + L2) << 1) + L2 + L1 + RL0s + 4) >> 3, L2)
+    sL1 = np.where(aps, (L2 + L1 + L0 + R0 + 2) >> 2, L1)
+    sL0 = np.where(aps, (R1 + ((L1 + RL0s) << 1) + L2 + 4) >> 3,
+                   ((L1 << 1) + L0 + R1 + 2) >> 2)
+    sR0 = np.where(aqs, (L1 + ((R1 + RL0s) << 1) + R2 + 4) >> 3,
+                   ((R1 << 1) + R0 + L1 + 2) >> 2)
+    sR1 = np.where(aqs, (R2 + R0 + R1 + L0 + 2) >> 2, R1)
+    sR2 = np.where(aqs, (((R3 + R2) << 1) + R2 + R1 + RL0s + 4) >> 3, R2)
+
+    # --- normal (bs 1..3) ---
+    C0 = clip_row[np.clip(S, 0, 4)].astype(np.int64)
+    RL0n = (L0 + R0 + 1) >> 1
+    apn = np.abs(L0 - L2) < beta
+    aqn = np.abs(R0 - R2) < beta
+    c0 = C0 + apn + aqn
+    dif = np.clip(((delta << 2) + (L1 - R1) + 4) >> 3, -c0, c0)
+    nL1 = L1 + np.where(apn, np.clip((L2 + RL0n - (L1 << 1)) >> 1, -C0, C0), 0)
+    nR1 = R1 + np.where(aqn, np.clip((R2 + RL0n - (R1 << 1)) >> 1, -C0, C0), 0)
+    nL0 = np.clip(L0 + dif, 0, max_val)
+    nR0 = np.clip(R0 - dif, 0, max_val)
+
+    oL2 = np.where(strong, sL2, L2)
+    oL1 = np.where(strong, sL1, np.where(normal, nL1, L1))
+    oL0 = np.where(strong, sL0, np.where(normal, nL0, L0))
+    oR0 = np.where(strong, sR0, np.where(normal, nR0, R0))
+    oR1 = np.where(strong, sR1, np.where(normal, nR1, R1))
+    oR2 = np.where(strong, sR2, R2)
+    if dir_ == 0:
+        seg[:, 1] = oL2; seg[:, 2] = oL1; seg[:, 3] = oL0
+        seg[:, 4] = oR0; seg[:, 5] = oR1; seg[:, 6] = oR2
+    else:
+        seg[1] = oL2; seg[2] = oL1; seg[3] = oL0
+        seg[4] = oR0; seg[5] = oR1; seg[6] = oR2
 
 
 def _filter_chroma_edge(C, S, qp_avg, alpha_off, beta_off, dir_, x0, y0,
@@ -193,40 +195,42 @@ def _filter_chroma_edge(C, S, qp_avg, alpha_off, beta_off, dir_, x0, y0,
     indexB = min(51, max(0, qp_avg + beta_off))
     alpha = int(ALPHA_TABLE[indexA])
     beta = int(BETA_TABLE[indexB])
-    clip = CLIP_TAB[indexA]
-    for pel in range(pelnum):
-        sidx = (((pel >> 1) << 2) + (pel & 1)) if pelnum == 8 else pel
-        strng = int(S[sidx])
-        if strng == 0:
-            continue
-        if dir_ == 0:
-            yy, xx = y0 + pel, x0
-            L1, L0 = int(C[yy, xx - 2]), int(C[yy, xx - 1])
-            R0, R1 = int(C[yy, xx]), int(C[yy, xx + 1])
-        else:
-            yy, xx = y0, x0 + pel
-            L1, L0 = int(C[yy - 2, xx]), int(C[yy - 1, xx])
-            R0, R1 = int(C[yy, xx]), int(C[yy + 1, xx])
-        delta = R0 - L0
-        if abs(delta) >= alpha:
-            continue
-        if abs(R0 - R1) >= beta or abs(L0 - L1) >= beta:
-            continue
-        if strng == 4:
-            nL0 = ((L1 << 1) + L0 + R1 + 2) >> 2
-            nR0 = ((R1 << 1) + R0 + L1 + 2) >> 2
-        else:
-            C0 = int(clip[strng])
-            c0 = C0 + 1
-            dif = max(-c0, min(c0, ((delta << 2) + (L1 - R1) + 4) >> 3))
-            nL0 = max(0, min(max_val, L0 + dif))
-            nR0 = max(0, min(max_val, R0 - dif))
-        if dir_ == 0:
-            C[yy, xx - 1] = nL0
-            C[yy, xx] = nR0
-        else:
-            C[yy - 1, xx] = nL0
-            C[yy, xx] = nR0
+    if alpha == 0:
+        return
+    clip_row = CLIP_TAB[indexA]
+    pels = np.arange(pelnum)
+    sidx = (((pels >> 1) << 2) + (pels & 1)) if pelnum == 8 else pels
+    Sv = np.asarray(S, np.int32)[sidx]
+    if dir_ == 0:
+        seg = C[y0 : y0 + pelnum, x0 - 2 : x0 + 2]
+        L1, L0, R0, R1 = (seg[:, i].astype(np.int64) for i in range(4))
+    else:
+        seg = C[y0 - 2 : y0 + 2, x0 : x0 + pelnum]
+        L1, L0, R0, R1 = (seg[i].astype(np.int64) for i in range(4))
+    delta = R0 - L0
+    active = (
+        (Sv != 0)
+        & (np.abs(delta) < alpha)
+        & (np.abs(R0 - R1) < beta)
+        & (np.abs(L0 - L1) < beta)
+    )
+    strong = active & (Sv == 4)
+    normal = active & (Sv < 4)
+    sL0 = ((L1 << 1) + L0 + R1 + 2) >> 2
+    sR0 = ((R1 << 1) + R0 + L1 + 2) >> 2
+    C0 = clip_row[np.clip(Sv, 0, 4)].astype(np.int64)
+    c0 = C0 + 1
+    dif = np.clip(((delta << 2) + (L1 - R1) + 4) >> 3, -c0, c0)
+    nL0 = np.clip(L0 + dif, 0, max_val)
+    nR0 = np.clip(R0 - dif, 0, max_val)
+    oL0 = np.where(strong, sL0, np.where(normal, nL0, L0))
+    oR0 = np.where(strong, sR0, np.where(normal, nR0, R0))
+    if dir_ == 0:
+        seg[:, 1] = oL0
+        seg[:, 2] = oR0
+    else:
+        seg[1] = oL0
+        seg[2] = oR0
 
 
 # chroma_edge[dir][edge] for 4:2:0 (-1 = no chroma edge)
@@ -240,6 +244,7 @@ def deblock_picture(st, sps, planes, sp_si=False):
     max_y = (1 << sps.bit_depth_luma) - 1
     max_c = (1 << sps.bit_depth_chroma) - 1
     cw, chh = sps.mb_chroma_size
+    BSV, BSH = _precompute_strengths(st, sp_si)
     for addr in range(st.n_mbs):
         mb_x, mb_y = addr % W, addr // W
         if st.lf_disable[addr] == 1:
@@ -252,25 +257,25 @@ def deblock_picture(st, sps, planes, sp_si=False):
         if st.lf_disable[addr] == 2:
             filter_left = filter_left and st.mb_avail(addr - 1, addr)
             filter_top = filter_top and st.mb_avail(addr - W, addr)
+        x4o, y4o = 4 * mb_x, 4 * mb_y
         for dir_ in (0, 1):
             edge_cond0 = filter_top if dir_ else filter_left
             for edge_i in range(4):
                 edge = edge_i << 2
                 if edge_i == 0 and not edge_cond0:
                     continue
-                if t8 and edge_i in (1, 3):
-                    luma_this_edge = False
+                if dir_ == 0:
+                    S = np.repeat(BSV[y4o : y4o + 4, x4o + edge_i], 4)
                 else:
-                    luma_this_edge = True
+                    S = np.repeat(BSH[y4o + edge_i, x4o : x4o + 4], 4)
+                if not S.any():
+                    continue
                 addr_p = addr - 1 if (dir_ == 0 and edge_i == 0) else (
                     addr - W if (dir_ == 1 and edge_i == 0) else addr
                 )
-                S = _strength_edge(st, addr, addr_p, dir_, edge, sp_si)
-                if not S.any():
-                    continue
                 qp_q = int(st.qp[addr])
                 qp_p = int(st.qp[addr_p])
-                if luma_this_edge:
+                if not (t8 and edge_i in (1, 3)):
                     qp_avg = (qp_p + qp_q + 1) >> 1
                     if dir_ == 0:
                         _filter_luma_edge(
@@ -299,3 +304,80 @@ def deblock_picture(st, sps, planes, sp_si=False):
                                     C, S, qp_avg_c, alpha_off, beta_off, 1,
                                     mb_x * cw, mb_y * chh + edge_cr, 8, max_c,
                                 )
+
+
+
+def _precompute_strengths(st, sp_si=False):
+    """Vectorized boundary strengths for all edges (frame, non-MBAFF).
+
+    Returns (BSV, BSH): BSV[y4, x4] = strength of the vertical edge to the
+    LEFT of 4x4 block (x4, y4); BSH likewise for the horizontal edge above.
+    Values per 4x4 block group (each covers 4 pels)."""
+    H4, W4 = 4 * st.H, 4 * st.W
+    nmb = st.n_mbs
+    is_intra_mb = np.array(
+        [1 if _is_intra_type(int(t)) else 0 for t in st.mb_type], np.bool_
+    ).reshape(st.H, st.W)
+    intra_blk = np.repeat(np.repeat(is_intra_mb, 4, 0), 4, 1)
+    cbp_arr = np.array(st.cbp_blk, dtype=np.int64).reshape(st.H, st.W)
+    bits = (cbp_arr[:, :, None] >> np.arange(16)) & 1
+    has_coef = (
+        bits.reshape(st.H, st.W, 4, 4).transpose(0, 2, 1, 3).reshape(H4, W4)
+    ).astype(np.bool_)
+
+    ref0 = st.ref_idx[0]
+    ref1 = st.ref_idx[1]
+    rid0 = np.where(ref0 >= 0, st.ref_pic_id[0], _REF_NONE)
+    rid1 = np.where(ref1 >= 0, st.ref_pic_id[1], _REF_NONE)
+    mv0 = st.mv[0]
+    mv1 = st.mv[1]
+
+    def mv_bs(sl_q, sl_p):
+        rq0, rq1 = rid0[sl_q], rid1[sl_q]
+        rp0, rp1 = rid0[sl_p], rid1[sl_p]
+        same = ((rq0 == rp0) & (rq1 == rp1)) | ((rq0 == rp1) & (rq1 == rp0))
+
+        def diff(a, b):
+            return (np.abs(a[..., 0] - b[..., 0]) >= 4) | (
+                np.abs(a[..., 1] - b[..., 1]) >= 4
+            )
+
+        q0, q1 = mv0[sl_q], mv1[sl_q]
+        p0, p1 = mv0[sl_p], mv1[sl_p]
+        straight = diff(q0, p0) | diff(q1, p1)
+        crossed = diff(q0, p1) | diff(q1, p0)
+        mixed_refs = rq0 != rq1
+        bs_mv = np.where(
+            mixed_refs,
+            np.where(rq0 == rp0, straight, crossed),
+            straight & crossed,
+        )
+        return np.where(same, bs_mv.astype(np.int32), 1)
+
+    # vertical edges: q block (y, x), p block (y, x-1)
+    BSV = np.zeros((H4, W4), np.int32)
+    q = (slice(None), slice(1, None))
+    p = (slice(None), slice(0, W4 - 1))
+    coef_v = has_coef[q] | has_coef[p]
+    bs_v = np.where(coef_v, 2, mv_bs(q, p))
+    intra_v = intra_blk[q] | intra_blk[p]
+    xs = np.arange(1, W4)
+    mb_edge_v = (xs % 4 == 0)[None, :]
+    bs_v = np.where(intra_v, np.where(mb_edge_v, 4, 3), bs_v)
+    BSV[:, 1:] = bs_v
+    # horizontal edges: q block (y, x), p block (y-1, x)
+    BSH = np.zeros((H4, W4), np.int32)
+    q = (slice(1, None), slice(None))
+    p = (slice(0, H4 - 1), slice(None))
+    coef_h = has_coef[q] | has_coef[p]
+    bs_h = np.where(coef_h, 2, mv_bs(q, p))
+    intra_h = intra_blk[q] | intra_blk[p]
+    ys = np.arange(1, H4)
+    mb_edge_h = (ys % 4 == 0)[:, None]
+    bs_h = np.where(intra_h, np.where(mb_edge_h, 4, 3), bs_h)
+    BSH[1:, :] = bs_h
+    if sp_si:
+        BSV[:, :] = 3
+        BSV[:, ::4] = 4
+        BSH[:, :] = 3  # SP/SI handled coarsely; refined when SP lands
+    return BSV, BSH

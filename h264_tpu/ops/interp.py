@@ -114,3 +114,85 @@ def chroma_block(Cpad: np.ndarray, pad: int, x_int: int, y_int: int,
         + fx * fy * D
         + 32
     ) >> 6
+
+
+# ---------------------------------------------------------------------------
+# Precomputed half-pel planes (encoder-side strategy, JM img_luma.c
+# getSubImagesLuma / UnifiedOneForthPix): compute b (horizontal half),
+# h (vertical half), j (center) once per reference frame; every quarter-pel
+# position is then an average of two plane samples (spec §8.4.2.2.1).
+# Works under numpy or jax.numpy on the PADDED plane (padding == UMV clamp).
+# ---------------------------------------------------------------------------
+
+def half_planes(Ppad, max_val: int = 255):
+    """From padded int32 plane (Hp, Wp) compute (b, h, j) planes of size
+    (Hp-5, Wp-5) aligned so that index [y, x] is the sub-sample at
+    (x+0.5, y), (x, y+0.5), (x+0.5, y+0.5) for positions x,y in the
+    padded coordinate system offset by 2 (see `plane_origin`)."""
+    P = Ppad.astype(Ppad.dtype)
+    Hp, Wp = P.shape
+
+    def c6_h(A):
+        return (
+            A[:, 0:-5] - 5 * A[:, 1:-4] + 20 * A[:, 2:-3]
+            + 20 * A[:, 3:-2] - 5 * A[:, 4:-1] + A[:, 5:]
+        )
+
+    def c6_v(A):
+        return (
+            A[0:-5] - 5 * A[1:-4] + 20 * A[2:-3]
+            + 20 * A[3:-2] - 5 * A[4:-1] + A[5:]
+        )
+
+    b1 = c6_h(P)  # (Hp, Wp-5): half at (x+2.5) -> aligned x+2
+    h1 = c6_v(P)  # (Hp-5, Wp)
+    j1 = c6_v(b1.astype(P.dtype) if hasattr(b1, "astype") else b1)
+    b = ((b1[2:-3, :] + 16) >> 5).clip(0, max_val)
+    h = ((h1[:, 2:-3] + 16) >> 5).clip(0, max_val)
+    j = ((j1 + 512) >> 10).clip(0, max_val)
+    return b, h, j
+
+
+PLANE_OFF = 2  # half-plane index [y, x] corresponds to padded pixel (y+2, x+2)
+
+
+def qpel_from_planes(G, b, h, j, y, x, dy, dx):
+    """Sample one qpel value at integer (y, x) in padded coords with
+    fraction (dy, dx); G is the padded full-pel plane; b/h/j from
+    half_planes (with PLANE_OFF alignment).  Scalar/array polymorphic.
+
+    This mirrors the decoder's on-the-fly derivation exactly, so the
+    encoder's plane-based prediction is bit-identical to any decoder."""
+    yb, xb = y - PLANE_OFF, x - PLANE_OFF
+
+    def avg(p, q):
+        return (p + q + 1) >> 1
+
+    if dx == 0 and dy == 0:
+        return G[y, x]
+    if dy == 0:
+        if dx == 1:
+            return avg(G[y, x], b[yb, xb])
+        if dx == 2:
+            return b[yb, xb]
+        return avg(b[yb, xb], G[y, x + 1])
+    if dx == 0:
+        if dy == 1:
+            return avg(G[y, x], h[yb, xb])
+        if dy == 2:
+            return h[yb, xb]
+        return avg(h[yb, xb], G[y + 1, x])
+    if dx == 2 and dy == 2:
+        return j[yb, xb]
+    if dx == 2:
+        if dy == 1:
+            return avg(b[yb, xb], j[yb, xb])
+        return avg(j[yb, xb], b[yb + 1, xb])
+    if dy == 2:
+        if dx == 1:
+            return avg(h[yb, xb], j[yb, xb])
+        return avg(j[yb, xb], h[yb, xb + 1])
+    # both odd: diagonal quarter = avg of nearest b and h
+    bb = b[yb, xb] if dy == 1 else b[yb + 1, xb]
+    hh = h[yb, xb] if dx == 1 else h[yb, xb + 1]
+    return avg(bb, hh)
