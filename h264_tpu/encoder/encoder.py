@@ -33,6 +33,7 @@ from ..syntax.parsets import PPS, SPS, write_pps, write_sps
 from ..syntax.slice_header import SliceHeader, SliceType, write_slice_header
 from . import me as ME
 from .syntax_cavlc import CavlcSliceWriter
+from .syntax_cabac import CabacSliceWriter
 from . import fast as FAST
 
 _ZZ4 = M.ZZ_SCAN_4x4
@@ -50,6 +51,7 @@ class EncoderConfig:
     subpel: bool = True
     num_ref_frames: int = 1
     fast: bool = False  # device-batched P-frame pipeline
+    entropy: str = "cavlc"  # "cavlc" (Baseline) or "cabac" (Main)
 
 
 class H264Encoder:
@@ -57,7 +59,7 @@ class H264Encoder:
         assert cfg.width % 16 == 0 and cfg.height % 16 == 0
         self.cfg = cfg
         self.sps = SPS(
-            profile_idc=66,
+            profile_idc=77 if cfg.entropy == "cabac" else 66,
             level_idc=30,
             num_ref_frames=cfg.num_ref_frames,
             pic_width_in_mbs_minus1=cfg.width // 16 - 1,
@@ -65,7 +67,7 @@ class H264Encoder:
             pic_order_cnt_type=2,
             log2_max_frame_num_minus4=4,
         )
-        self.pps = PPS(entropy_coding_mode_flag=False)
+        self.pps = PPS(entropy_coding_mode_flag=(cfg.entropy == "cabac"))
         self.frame_num = 0
         self.idr_count = 0
         self.recon_pics: list = []  # (poc, planes, state, padded)
@@ -140,9 +142,14 @@ class H264Encoder:
             slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
         )
         w = write_slice_header(sh, sps, pps)
-        writer = CavlcSliceWriter(st, sps, pps, sh)
-        writer.write_slice_data(w, list(range(st.n_mbs)))
-        w.rbsp_trailing_bits()
+        if pps.entropy_coding_mode_flag:
+            writer = CabacSliceWriter(st, sps, pps, sh)
+            writer.write_slice_data(w, list(range(st.n_mbs)))
+            # CABAC slices end byte-aligned after the flush; no stop bit
+        else:
+            writer = CavlcSliceWriter(st, sps, pps, sh)
+            writer.write_slice_data(w, list(range(st.n_mbs)))
+            w.rbsp_trailing_bits()
         nal = NalUnit(5 if is_idr else 1, 3, w.get_bytes())
 
         poc = 2 * self.frame_num

@@ -144,39 +144,46 @@ _GROUP_SHAPES = {
 }
 
 
+_GROUP_BASES = {}
+_TOTAL_CTX = 0
+for _name, (_rows, _cols) in _GROUP_SHAPES.items():
+    _GROUP_BASES[_name] = _TOTAL_CTX
+    _TOTAL_CTX += _rows * _cols
+
+
 class ContextSet:
     """All CABAC contexts of one slice, initialized per spec §9.3.1.1.
 
-    Access: ctx.g["MAP"] is a (states, mps) pair of flat bytearrays; the
-    reader indexes [row * ncols + col] with the JM (row=sub-group) layout.
+    Storage is one flat (states, mps) bytearray pair covering every group
+    (layout: _GROUP_BASES offsets) so native/batched consumers can take
+    the whole context state in one buffer; `group(name, row)` returns
+    (states, mps, base_index) into the flat arrays.
     """
 
-    __slots__ = ("g", "ncols")
+    __slots__ = ("states", "mps", "ncols")
 
     def __init__(self, slice_is_intra: bool, model: int, qp: int):
         init = INIT_I if slice_is_intra else INIT_P
         model = 0 if slice_is_intra else model
-        self.g = {}
+        self.states = bytearray(_TOTAL_CTX)
+        self.mps = bytearray(_TOTAL_CTX)
         self.ncols = {}
         for name, (rows, cols) in _GROUP_SHAPES.items():
             tab = init[name][model]
-            states = bytearray(rows * cols)
-            mps = bytearray(rows * cols)
+            base = _GROUP_BASES[name]
             for r in range(rows):
                 for c in range(cols):
                     m, n = int(tab[r][c][0]), int(tab[r][c][1])
                     pstate = ((m * max(0, qp)) >> 4) + n
                     pstate = max(1, min(126, pstate))
                     if pstate >= 64:
-                        states[r * cols + c] = pstate - 64
-                        mps[r * cols + c] = 1
+                        self.states[base + r * cols + c] = pstate - 64
+                        self.mps[base + r * cols + c] = 1
                     else:
-                        states[r * cols + c] = 63 - pstate
-                        mps[r * cols + c] = 0
-            self.g[name] = (states, mps)
+                        self.states[base + r * cols + c] = 63 - pstate
+                        self.mps[base + r * cols + c] = 0
             self.ncols[name] = cols
 
     def group(self, name: str, row: int = 0):
         """(states, mps, base_index) triple for a sub-group row."""
-        states, mps = self.g[name]
-        return states, mps, row * self.ncols[name]
+        return self.states, self.mps, _GROUP_BASES[name] + row * self.ncols[name]
