@@ -78,3 +78,24 @@ class BitWriter:
         if self._nacc:
             raise ValueError("append_bytes requires byte alignment")
         self._buf.extend(data)
+
+    def append_bits(self, data: bytes, nbits: int) -> None:
+        """Append the first nbits of an MSB-first byte string."""
+        if nbits == 0:
+            return
+        nbytes = (nbits + 7) // 8
+        val = int.from_bytes(data[:nbytes], "big") >> (8 * nbytes - nbits)
+        if self._nacc == 0:
+            whole, rem = divmod(nbits, 8)
+            if whole:
+                self._buf.extend((val >> rem).to_bytes(whole, "big"))
+            self._acc = val & ((1 << rem) - 1)
+            self._nacc = rem
+            return
+        acc = (self._acc << nbits) | val
+        nacc = self._nacc + nbits
+        whole, rem = divmod(nacc, 8)
+        if whole:
+            self._buf.extend((acc >> rem).to_bytes(whole, "big"))
+        self._acc = acc & ((1 << rem) - 1)
+        self._nacc = rem

@@ -47,6 +47,8 @@ class CavlcSliceWriter:
     def write_slice_data(self, w: BitWriter, mb_addrs: list[int]):
         st = self.st
         is_p = self.sh.slice_type in (SliceType.P, SliceType.SP)
+        if self.trace is None and self._try_native(w, mb_addrs, is_p):
+            return
         skip_run = 0
         for addr in mb_addrs:
             if is_p and st.skip_flag[addr]:
@@ -126,6 +128,40 @@ class CavlcSliceWriter:
             self._t("dquant", dq)
 
         self._write_residuals(w, addr)
+
+    def _try_native(self, w: BitWriter, mb_addrs, is_p: bool) -> bool:
+        """Write the whole slice via the native C writer when the feature
+        set allows (same bits as the Python path; fuzz-tested)."""
+        st = self.st
+        if self.sh.slice_type not in (SliceType.P, SliceType.I):
+            return False
+        if self.sps.chroma_format_idc not in (0, 1):
+            return False
+        supported = (M.PSKIP, M.P16x16, M.P16x8, M.P8x16, M.P8x8, M.I4MB,
+                     M.I16MB)
+        types = st.mb_type[np.asarray(mb_addrs, np.int64)]
+        if not np.isin(types, supported).all():
+            return False
+        if np.isin(types, (M.PSKIP,)).any() and not is_p:
+            return False
+        from .. import native
+
+        res = native.cavlc_write_slice(
+            st, is_p, self.sh.num_ref_idx_l0_active_minus1 + 1, self.qp,
+            bool(self.pps.constrained_intra_pred_flag),
+            self.sps.chroma_format_idc == 1, mb_addrs, self.nnz,
+        )
+        if res is None:
+            return False
+        payload, nbits = res
+        w.append_bits(payload, nbits)
+        for a in mb_addrs:  # mirror the per-MB dquant qp tracking
+            if (is_p and st.skip_flag[a]) or (
+                st.cbp[a] == 0 and st.mb_type[a] != M.I16MB
+            ):
+                continue
+            self.qp = int(st.qp[a])
+        return True
 
     def _dquant(self, addr: int) -> int:
         """mb_qp_delta derived from the per-MB qp sequence."""

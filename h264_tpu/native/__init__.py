@@ -11,35 +11,34 @@ import os
 import subprocess
 
 _DIR = os.path.dirname(__file__)
-_LIB_PATH = os.path.join(_DIR, "libcabac.so")
-_lib = None
+_libs: dict = {}
 
 
-def _build() -> bool:
-    src = os.path.join(_DIR, "cabac_engine.c")
+def _load(stem: str):
+    """Build (if stale) and load lib<stem>.so from <stem>.c; None on failure."""
+    if stem in _libs:
+        return _libs[stem]
+    src = os.path.join(_DIR, stem + ".c")
+    so = os.path.join(_DIR, f"lib{stem}.so")
+    lib = None
     try:
-        subprocess.run(
-            ["gcc", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, src],
-            check=True,
-            capture_output=True,
-        )
-        return True
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["gcc", "-O3", "-shared", "-fPIC", "-o", so, src],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
     except Exception:
-        return False
+        lib = None
+    _libs[stem] = lib
+    return lib
 
 
 def get_lib():
-    """The loaded native library, or None if unavailable."""
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(
-        os.path.join(_DIR, "cabac_engine.c")
-    ):
-        if not _build():
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
+    """The loaded CABAC native library, or None if unavailable."""
+    lib = _load("cabac_engine")
+    if lib is not None and not getattr(lib, "_sigs_set", False):
         lib.cabac_encode_run.restype = ctypes.c_long
         lib.cabac_encode_run.argtypes = [
             ctypes.c_char_p,
@@ -51,10 +50,126 @@ def get_lib():
             ctypes.c_char_p,
             ctypes.c_long,
         ]
-        _lib = lib
-        return lib
-    except OSError:
+        lib._sigs_set = True
+    return lib
+
+
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+
+_cavlc_tables = None
+
+
+def _get_cavlc_tables():
+    """Flattened int32 copies of the CAVLC code tables (cached)."""
+    global _cavlc_tables
+    if _cavlc_tables is None:
+        import numpy as np
+
+        from ..entropy.cavlc import tables as T
+
+        def arr(x):
+            return np.ascontiguousarray(x, np.int32)
+
+        tzc_len = np.zeros((15, 16), np.int32)
+        tzc_code = np.zeros((15, 16), np.int32)
+        for i, row in enumerate(T.TOTAL_ZEROS_CDC_LEN[0]):
+            tzc_len[i, : len(row)] = row
+        for i, row in enumerate(T.TOTAL_ZEROS_CDC_CODE[0]):
+            tzc_code[i, : len(row)] = row
+        cbp_intra = arr([T.NCBP[1][cbp][0] for cbp in range(48)])
+        cbp_inter = arr([T.NCBP[1][cbp][1] for cbp in range(48)])
+        _cavlc_tables = (
+            arr(T.COEFF_TOKEN_LEN), arr(T.COEFF_TOKEN_CODE),
+            arr(T.COEFF_TOKEN_CDC_LEN[0]), arr(T.COEFF_TOKEN_CDC_CODE[0]),
+            arr(T.TOTAL_ZEROS_LEN), arr(T.TOTAL_ZEROS_CODE),
+            tzc_len, tzc_code,
+            arr(T.RUN_BEFORE_LEN), arr(T.RUN_BEFORE_CODE),
+            cbp_intra, cbp_inter,
+        )
+    return _cavlc_tables
+
+
+def cavlc_write_slice(st, is_p: bool, n_ref: int, init_qp: int,
+                      constrained_intra: bool, chroma420: bool,
+                      mb_addrs, nnz):
+    """Native CAVLC slice-data writer.
+
+    Returns (payload_bytes, nbits) or None if unavailable/unsupported.
+    `nnz` (int32 [3,4H,4W]) is updated in place (JM nz_coeff semantics)."""
+    lib = _load("cavlc_writer")
+    if lib is None:
         return None
+    import numpy as np
+
+    if not getattr(lib, "_cavlc_sigs", False):
+        lib.cavlc_write_slice.restype = ctypes.c_long
+        lib._cavlc_sigs = True
+
+    def a(x, dtype=np.int32):
+        return np.ascontiguousarray(x, dtype)
+
+    def p(x):
+        return x.ctypes.data_as(_I32P)
+
+    tabs = _get_cavlc_tables()
+    mb_addrs = a(mb_addrs)
+    n_mbs = st.n_mbs
+    cap_bytes = 1024 * n_mbs + 4096
+    out = ctypes.create_string_buffer(cap_bytes)
+    # keep temporaries alive through the call
+    arrs = [
+        a(st.mb_type), a(st.skip_flag), a(st.cbp), a(st.qp),
+        a(st.c_ipred_mode), a(st.b8mode), a(st.i16mode), a(st.is_intra),
+        a(st.slice_id), a(st.ipredmode), a(st.ref_idx[0]), a(st.mvd[0]),
+        a(st.luma_levels), a(st.luma_dc), a(st.chroma_dc),
+        a(st.chroma_levels),
+    ]
+    assert nnz.dtype == np.int32 and nnz.flags.c_contiguous
+    nbits = lib.cavlc_write_slice(
+        st.W, st.H,
+        *(p(x) for x in arrs),
+        int(is_p), int(n_ref), int(init_qp), int(constrained_intra),
+        int(chroma420), p(mb_addrs), len(mb_addrs),
+        *(p(x) for x in tabs),
+        p(nnz), ctypes.cast(out, ctypes.c_char_p), ctypes.c_long(8 * cap_bytes),
+    )
+    if nbits < 0:
+        return None
+    return out.raw[: (nbits + 7) // 8], nbits
+
+
+def deblock_run(Y, U, V, BSV, BSH, qp, qpc, lf_disable, lf_alpha, lf_beta,
+                transform8x8, slice_id, cfi: int, max_y: int, max_c: int,
+                n_mbW: int, n_mbH: int) -> bool:
+    """Native full-picture deblock (frame, non-MBAFF, 4:2:0/mono).
+
+    Filters Y/U/V in place; all arrays must be contiguous int32.  Returns
+    False if the native library is unavailable (caller uses the oracle)."""
+    lib = _load("deblock")
+    if lib is None:
+        return False
+    if not getattr(lib, "_sigs_set", False):
+        lib.deblock_run.restype = None
+        lib.deblock_run.argtypes = [_I32P] * 3 + [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ] + [_I32P] * 9 + [ctypes.c_int, ctypes.c_int32, ctypes.c_int32]
+        lib._sigs_set = True
+    import numpy as np
+
+    def p(a):
+        assert a.dtype == np.int32 and a.flags.c_contiguous
+        return a.ctypes.data_as(_I32P)
+
+    H_pix, W_pix = Y.shape
+    null = ctypes.cast(None, _I32P)
+    lib.deblock_run(
+        p(Y), p(U) if U is not None else null, p(V) if V is not None else null,
+        W_pix, H_pix, n_mbW, n_mbH,
+        p(BSV), p(BSH), p(qp), p(qpc), p(lf_disable), p(lf_alpha),
+        p(lf_beta), p(transform8x8), p(slice_id), cfi, max_y, max_c,
+    )
+    return True
 
 
 def cabac_encode_run(kinds: bytes, ctx_idx, bins: bytes, states: bytearray,

@@ -245,6 +245,27 @@ def deblock_picture(st, sps, planes, sp_si=False):
     max_c = (1 << sps.bit_depth_chroma) - 1
     cw, chh = sps.mb_chroma_size
     BSV, BSH = _precompute_strengths(st, sp_si)
+    planes_native_ok = all(
+        a is None or (a.dtype == np.int32 and a.flags.c_contiguous)
+        for a in (Y, U, V)
+    )
+    if sps.chroma_format_idc in (0, 1) and planes_native_ok:
+        from .. import native
+
+        ok = native.deblock_run(
+            Y, U, V,
+            np.ascontiguousarray(BSV), np.ascontiguousarray(BSH),
+            np.ascontiguousarray(st.qp, np.int32).reshape(-1),
+            np.ascontiguousarray(st.qpc, np.int32),
+            np.ascontiguousarray(st.lf_disable, np.int32),
+            np.ascontiguousarray(st.lf_alpha, np.int32),
+            np.ascontiguousarray(st.lf_beta, np.int32),
+            np.ascontiguousarray(st.transform8x8, np.int32),
+            np.ascontiguousarray(st.slice_id, np.int32),
+            sps.chroma_format_idc, max_y, max_c, W, H,
+        )
+        if ok:
+            return
     for addr in range(st.n_mbs):
         mb_x, mb_y = addr % W, addr // W
         if st.lf_disable[addr] == 1:
