@@ -47,14 +47,16 @@ def main():
     frames = load_frames(n_frames)
     enc = H264Encoder(EncoderConfig(width=176, height=144, qp=28, fast=True))
     nalus = enc.headers()
-    # warmup: I frame + first P (includes jit compile on cold cache)
-    nalus.extend(enc.encode_frame(frames[0], True))
-    nalus.extend(enc.encode_frame(frames[1], False))
-    t0 = time.time()
     n_meas = 0
     bits = 0
-    for f in frames[2:]:
-        out = enc.encode_frame(f, False)
+    t0 = None
+    warmup = 2  # I frame + first P (includes jit compile on cold cache)
+    for k, out in enumerate(enc.encode_stream(frames)):
+        if k + 1 == warmup:
+            t0 = time.time()
+            continue
+        if k + 1 < warmup:
+            continue
         bits += sum(8 * (len(n.rbsp) + 5) for n in out)
         n_meas += 1
     dt = time.time() - t0

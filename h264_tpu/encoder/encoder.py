@@ -52,6 +52,7 @@ class EncoderConfig:
     num_ref_frames: int = 1
     fast: bool = False  # device-batched P-frame pipeline
     entropy: str = "cavlc"  # "cavlc" (Baseline) or "cabac" (Main)
+    pipeline_depth: int = 8  # frames in flight in encode_stream
 
 
 class H264Encoder:
@@ -71,9 +72,13 @@ class H264Encoder:
         self.frame_num = 0
         self.idr_count = 0
         self.recon_pics: list = []  # (poc, planes, state, padded)
+        self._dev_ref = None  # device-resident ref state (fast path)
+        self._prev_poc = 0
         lam = 0.85 * 2.0 ** ((cfg.qp - 12) / 3.0)
         self.lambda_me = int(np.sqrt(lam) * 65536 + 0.5)
         self.lambda_mode = lam
+        # fast path searches in SSD units -> full lambda_mode weighting
+        self.lambda_mode_fx = int(lam * 65536 + 0.5)
 
     # ------------------------------------------------------------------
     def headers(self) -> list[NalUnit]:
@@ -85,16 +90,54 @@ class H264Encoder:
     def encode_sequence(self, frames) -> bytes:
         """frames: list of (Y, U, V) uint8 arrays. Returns Annex-B bytes."""
         nalus = self.headers()
+        for out in self.encode_stream(frames):
+            nalus.extend(out)
+        return write_annexb(nalus)
+
+    def encode_stream(self, frames, depth: int | None = None):
+        """Pipelined encode: yields a list of NalUnits per frame.
+
+        Device steps run up to `depth` frames ahead of the host tail
+        (entropy coding, NAL packing): the device chains P frames through
+        device-resident reference state, so dispatch never waits on the
+        host, and the host upload latency of frame N is amortized across
+        the frames already in flight."""
+        if depth is None:
+            depth = self.cfg.pipeline_depth
+        pend: list = []
+
+        def drain(group):
+            # one stacked d2h transfer for the whole group: the tunnel's
+            # per-fetch latency is paid once per `depth` frames
+            if not group:
+                return
+            if len(group) == 1:
+                yield self._finish_p_fast(group[0])
+                return
+            rows = np.asarray(FAST.stack_outputs([p[0] for p in group]))
+            for row, p in zip(rows, group):
+                yield self._finish_p_fast(p, fetched=row)
+
         for idx, yuv in enumerate(frames):
             is_idr = idx == 0 or (
                 self.cfg.idr_period and idx % self.cfg.idr_period == 0
             )
-            nalus.extend(self.encode_frame(yuv, is_idr))
-        return write_annexb(nalus)
+            if is_idr or not self.cfg.fast:
+                yield from drain(pend)
+                pend = []
+                yield self.encode_frame(yuv, is_idr)
+            else:
+                pend.append(self._start_p_fast(yuv))
+                if len(pend) >= depth:
+                    yield from drain(pend)
+                    pend = []
+        yield from drain(pend)
 
     # ------------------------------------------------------------------
     def encode_frame(self, yuv, is_idr: bool) -> list[NalUnit]:
         cfg = self.cfg
+        if not is_idr and cfg.fast:
+            return self._finish_p_fast(self._start_p_fast(yuv))
         Y = np.asarray(yuv[0], np.int32)
         U = np.asarray(yuv[1], np.int32)
         V = np.asarray(yuv[2], np.int32)
@@ -117,17 +160,14 @@ class H264Encoder:
         # device ME pass (whole frame at once)
         sad_grids = None
         ref = None
-        if stype == SliceType.P and cfg.fast:
-            self._encode_p_fast(st, planes, Y, U, V, qp)
-        else:
-            if stype == SliceType.P:
-                ref = self.recon_pics[-1]
-                sad_grids = ME.compute_sad_grids(
-                    Y, np.asarray(ref[1].Y), cfg.search_range
-                )
-            enc = _FrameEncoder(self, st, planes, Y, U, V, stype, qp, ref, sad_grids)
-            for addr in range(st.n_mbs):
-                enc.encode_mb(addr)
+        if stype == SliceType.P:
+            ref = self.recon_pics[-1]
+            sad_grids = ME.compute_sad_grids(
+                Y, np.asarray(ref[1].Y), cfg.search_range
+            )
+        enc = _FrameEncoder(self, st, planes, Y, U, V, stype, qp, ref, sad_grids)
+        for addr in range(st.n_mbs):
+            enc.encode_mb(addr)
 
         if cfg.enable_deblock:
             deblock_picture(st, sps, planes)
@@ -155,6 +195,7 @@ class H264Encoder:
         poc = 2 * self.frame_num
         if self.cfg.fast:
             padded = FAST.ref_resources(planes)
+            self._dev_ref = padded
         else:
             padded = (
                 MC.pad_plane(planes.Y),
@@ -164,40 +205,105 @@ class H264Encoder:
         self.recon_pics = [(poc, planes, st, padded)][:] if is_idr else (
             (self.recon_pics + [(poc, planes, st, padded)])[-self.cfg.num_ref_frames:]
         )
+        self._prev_poc = poc
         self.frame_num += 1
         if is_idr:
             self.idr_count += 1
         return [nal]
 
     # ------------------------------------------------------------------
-    def _encode_p_fast(self, st, planes, Y, U, V, qp):
-        import jax.numpy as jnp
-        from ..decoder.mv import pmv as _pmv, _pskip_mv as _pskip
+    def _start_p_fast(self, yuv):
+        """Dispatch the device step for a fast-path P frame.
 
-        cfg = self.cfg
-        sps = self.sps
+        The next reference state chains on device (p_frame_pipeline fuses
+        recon + deblock + qpel-plane prep), so this never blocks; the host
+        outputs are fetched later by _finish_p_fast."""
+        import jax.numpy as jnp
+
+        cfg, sps, pps = self.cfg, self.sps, self.pps
         H, W = sps.height, sps.width
-        ref = self.recon_pics[-1]
-        Ypad, bpl, hpl, jpl, Upad, Vpad = ref[3]
-        qp_c = int(st.qpc[0, 0])
-        out = FAST.p_frame_device(
-            jnp.asarray(Y, jnp.int32), jnp.asarray(U, jnp.int32),
-            jnp.asarray(V, jnp.int32), Ypad, bpl, hpl, jpl, Upad, Vpad,
-            H=H, W=W, R=min(cfg.search_range, 16), qp=qp, qp_c=qp_c,
-            lambda_me=self.lambda_me,
+        qp = cfg.qp
+        cb_off, _ = pps.chroma_qp_offset
+        qp_c = chroma_qp(qp, cb_off)
+        cur = tuple(
+            jnp.asarray(np.ascontiguousarray(p, np.uint8)) for p in yuv
         )
+        host_out, recon, new_ref = FAST.p_frame_pipeline(
+            *cur, *self._dev_ref, H=H, W=W, R=min(cfg.search_range, 16),
+            qp=qp, qp_c=qp_c, lambda_me=self.lambda_mode_fx,
+        )
+        frame_num = self.frame_num
+        self.frame_num += 1
+        ref_poc = self._prev_poc
+        poc = 2 * frame_num
+        self._prev_poc = poc
+        self._dev_ref = new_ref
+        return (host_out, recon, new_ref, frame_num, poc, ref_poc, qp)
+
+    def _finish_p_fast(self, pending, fetched=None) -> list[NalUnit]:
+        """Run the host tail (state fill, entropy coding, NAL packing) for a
+        previously dispatched P frame.  `fetched` is the frame's flat output
+        row when the caller already did a batched fetch; otherwise the flat
+        buffer is fetched here."""
         import jax as _jax
 
-        (mvx, mvy, lev, rec_y, lev_u, dc_u, rec_u, lev_v, dc_v, rec_v, _sad0) = (
-            _jax.device_get(out)
+        host_out, recon, dev_ref, frame_num, poc, ref_poc, qp = pending
+        cfg, sps, pps = self.cfg, self.sps, self.pps
+        W, H = sps.pic_width_in_mbs, sps.frame_height_in_mbs
+        st = PictureParseState(W, H)
+        planes = Planes(sps)
+        st.slice_id[:] = 0
+        st.qp[:] = qp
+        cb_off, cr_off = pps.chroma_qp_offset
+        st.qpc[:, 0] = chroma_qp(qp, cb_off)
+        st.qpc[:, 1] = chroma_qp(qp, cr_off)
+        if fetched is None:
+            fetched = np.asarray(host_out)
+        n_mb = W * H
+        Wp, Hp = sps.width, sps.height
+        sizes = [n_mb, n_mb, Wp * Hp, Wp * Hp // 4, 4 * n_mb,
+                 Wp * Hp // 4, 4 * n_mb]
+        parts = np.split(fetched, np.cumsum(sizes)[:-1])
+        (mvx, mvy, lev, lev_u, dc_u, lev_v, dc_v) = parts
+        mvx = mvx.reshape(H, W)
+        mvy = mvy.reshape(H, W)
+        lev = lev.reshape(4 * H, 4 * W, 4, 4)
+        lev_u = lev_u.reshape(Hp // 8, Wp // 8, 4, 4)
+        lev_v = lev_v.reshape(Hp // 8, Wp // 8, 4, 4)
+        dc_u = dc_u.reshape(H, W, 2, 2)
+        dc_v = dc_v.reshape(H, W, 2, 2)
+        # recon stays on device; materialized only if the caller reads it
+        planes.Y, planes.U, planes.V = recon
+        self._fill_p_state(st, mvx, mvy, lev, lev_u.astype(np.int32),
+                           dc_u.astype(np.int32), lev_v.astype(np.int32),
+                           dc_v.astype(np.int32), ref_poc)
+        sh = SliceHeader(
+            slice_type_code=SliceType.P.value,
+            frame_num=frame_num % sps.max_frame_num,
+            is_idr=False,
+            nal_ref_idc=3,
+            slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
         )
-        planes.Y[:] = rec_y
-        planes.U[:] = rec_u
-        planes.V[:] = rec_v
-        n_mx = W // 16
-        n_my = H // 16
+        w = write_slice_header(sh, sps, pps)
+        if pps.entropy_coding_mode_flag:
+            writer = CabacSliceWriter(st, sps, pps, sh)
+            writer.write_slice_data(w, list(range(st.n_mbs)))
+        else:
+            writer = CavlcSliceWriter(st, sps, pps, sh)
+            writer.write_slice_data(w, list(range(st.n_mbs)))
+            w.rbsp_trailing_bits()
+        nal = NalUnit(1, 3, w.get_bytes())
+        self.recon_pics = (self.recon_pics + [(poc, planes, st, dev_ref)])[
+            -self.cfg.num_ref_frames:
+        ]
+        return [nal]
+
+    def _fill_p_state(self, st, mvx, mvy, lev, lev_u, dc_u, lev_v, dc_v,
+                      ref_id):
+        from ..decoder.mv import pmv as _pmv, _pskip_mv as _pskip
+
+        n_mx, n_my = st.W, st.H
         n_mb = st.n_mbs
-        ref_id = ref[0]
         # ---- vectorized state fill ----
         st.ipredmode[:] = 2
         st.mb_type[:] = M.P16x16

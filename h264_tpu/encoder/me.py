@@ -33,15 +33,15 @@ def sad_grid_16x16(cur: jax.Array, ref_padded: jax.Array, search_range: int = 16
     R = search_range
     n_my, n_mx = H // mb_size, W // mb_size
 
-    def one_shift(d):
-        dy, dx = d // (2 * R + 1), d % (2 * R + 1)
-        win = jax.lax.dynamic_slice(ref_padded, (dy, dx), (H, W))
-        ad = jnp.abs(cur - win)
-        return ad.reshape(n_my, mb_size, n_mx, mb_size).sum(axis=(1, 3))
+    def one_dy(dy):
+        strip = jax.lax.dynamic_slice(ref_padded, (dy, 0), (H, W + 2 * R))
+        wins = jnp.stack([strip[:, dx : dx + W] for dx in range(2 * R + 1)])
+        ad = jnp.abs(cur[None] - wins)
+        return ad.reshape(2 * R + 1, n_my, mb_size, n_mx, mb_size).sum(
+            axis=(2, 4)
+        )
 
-    n_pos = (2 * R + 1) ** 2
-    grids = jax.lax.map(one_shift, jnp.arange(n_pos))
-    return grids.reshape(2 * R + 1, 2 * R + 1, n_my, n_mx)
+    return jax.lax.map(one_dy, jnp.arange(2 * R + 1))
 
 
 def compute_sad_grids(cur_y: np.ndarray, ref_y: np.ndarray, search_range: int = 16):

@@ -44,13 +44,15 @@ def _me_best_mv(cur, ref_pad, search_range):
     R = search_range
     n_my, n_mx = H // 16, W // 16
 
-    def one_shift(d):
-        dy, dx = d // (2 * R + 1), d % (2 * R + 1)
-        win = jax.lax.dynamic_slice(ref_pad, (dy, dx), (H, W))
-        ad = jnp.abs(cur - win)
-        return ad.reshape(n_my, 16, n_mx, 16).sum(axis=(1, 3))
+    def one_dy(dy):
+        strip = jax.lax.dynamic_slice(ref_pad, (dy, 0), (H, W + 2 * R))
+        wins = jnp.stack([strip[:, dx : dx + W] for dx in range(2 * R + 1)])
+        ad = jnp.abs(cur[None] - wins)
+        return ad.reshape(2 * R + 1, n_my, 16, n_mx, 16).sum(axis=(2, 4))
 
-    grids = jax.lax.map(one_shift, jnp.arange((2 * R + 1) ** 2))
+    grids = jax.lax.map(one_dy, jnp.arange(2 * R + 1)).reshape(
+        (2 * R + 1) ** 2, n_my, n_mx
+    )
     best = jnp.argmin(grids, axis=0)
     bdy, bdx = best // (2 * R + 1), best % (2 * R + 1)
     return (bdx - R).astype(jnp.int32), (bdy - R).astype(jnp.int32), grids.min(axis=0)
