@@ -51,7 +51,7 @@ class CavlcSliceParser:
         r = self.r
         addr = self.sh.first_mb_in_slice
         decoded = []
-        is_pb = self.slice_type in (SliceType.P, SliceType.SP)
+        is_pb = self.slice_type in (SliceType.P, SliceType.SP, SliceType.B)
 
         def bookkeep(a):
             st.slice_id[a] = self.slice_id
@@ -82,9 +82,14 @@ class CavlcSliceParser:
     def _setup_skip(self, addr: int):
         st = self.st
         st.skip_flag[addr] = 1
-        st.mb_type[addr] = M.PSKIP
-        st.b8mode[addr] = 0
-        st.b8pdir[addr] = M.PD_L0
+        if self.slice_type == SliceType.B:
+            st.mb_type[addr] = M.BSKIP_DIRECT
+            st.b8mode[addr] = M.B8_DIRECT
+            st.b8pdir[addr] = M.PD_BI
+        else:
+            st.mb_type[addr] = M.PSKIP
+            st.b8mode[addr] = 0
+            st.b8pdir[addr] = M.PD_L0
         self._set_chroma_qp(addr)
         x4, y4 = st.mb_block_origin(addr)
         st.ipredmode[y4 : y4 + 4, x4 : x4 + 4] = DC_PRED
@@ -96,18 +101,18 @@ class CavlcSliceParser:
         st.ipredmode[y4 : y4 + 4, x4 : x4 + 4] = DC_PRED
         raw = r.ue()
         is_p = self.slice_type in (SliceType.P, SliceType.SP)
+        is_b = self.slice_type == SliceType.B
         if is_p:
             raw += 1  # CAVLC codes mb_type-1 for P (JM read_one_macroblock)
-            if raw <= 5:
-                pass
             # raw now matches the JM P numbering: 1..3 partitions, 4/5 P8x8,
             # 6 I4MB, 7.. I16, 31 IPCM
-        else:
-            # I slice: 0 I4MB, 1..24 I16, 25 IPCM
-            pass
+        # B slice: raw used directly (0 direct, 1..21 inter, 22 B8x8,
+        # 23 I4MB, 24..47 I16, 48 IPCM).  I slice: 0 I4MB, 1..24 I16, 25 IPCM
         st.raw_mb_type[addr] = raw
         if is_p:
             self._interpret_P(addr, raw)
+        elif is_b:
+            self._interpret_B(addr, raw)
         else:
             self._interpret_I(addr, raw)
         mbt = int(st.mb_type[addr])
@@ -119,7 +124,8 @@ class CavlcSliceParser:
         if mbt == M.P8x8:
             for b8 in range(4):
                 v = r.ue()
-                st.b8mode[addr][b8], st.b8pdir[addr][b8] = M.SUB_MB_P[v]
+                tab = M.SUB_MB_B if is_b else M.SUB_MB_P
+                st.b8mode[addr][b8], st.b8pdir[addr][b8] = tab[v]
 
         if mbt == M.I4MB:
             for blk in range(16):
@@ -189,6 +195,43 @@ class CavlcSliceParser:
             st.b8mode[addr] = 0
             st.b8pdir[addr] = -1
 
+    def _interpret_B(self, addr, raw):
+        st = self.st
+        if raw == 0:
+            st.mb_type[addr] = M.BSKIP_DIRECT
+            st.b8mode[addr] = M.B8_DIRECT
+            st.b8pdir[addr] = M.PD_BI
+        elif raw == 23:
+            st.mb_type[addr] = M.I4MB
+            st.b8mode[addr] = M.IBLOCK
+            st.b8pdir[addr] = -1
+        elif raw == 48:
+            st.mb_type[addr] = M.IPCM
+        elif 23 < raw < 48:
+            st.mb_type[addr] = M.I16MB
+            st.cbp[addr] = M.I16_CBP_TAB[(raw - 24) >> 2]
+            st.i16mode[addr] = (raw - 24) & 3
+            st.b8mode[addr] = 0
+            st.b8pdir[addr] = -1
+        elif raw == 22:
+            st.mb_type[addr] = M.P8x8
+        elif raw < 4:
+            st.mb_type[addr] = M.P16x16
+            st.b8mode[addr] = 1
+            st.b8pdir[addr] = M.B_PDIR_16x16[raw]
+        elif (raw & 1) == 0:  # 16x8
+            st.mb_type[addr] = M.P16x8
+            st.b8mode[addr] = 2
+            pd = M.B_PDIR_16x8[raw]
+            st.b8pdir[addr][0] = st.b8pdir[addr][1] = pd[0]
+            st.b8pdir[addr][2] = st.b8pdir[addr][3] = pd[1]
+        else:  # 8x16
+            st.mb_type[addr] = M.P8x16
+            st.b8mode[addr] = 3
+            pd = M.B_PDIR_8x16[raw]
+            st.b8pdir[addr][0] = st.b8pdir[addr][2] = pd[0]
+            st.b8pdir[addr][1] = st.b8pdir[addr][3] = pd[1]
+
     def _mpm(self, addr, bx, by):
         st = self.st
         la, lmb, _, _, lx, ly = st.luma4x4_neighbor(addr, (bx << 2) - 1, by << 2)
@@ -204,7 +247,7 @@ class CavlcSliceParser:
         st = self.st
         r = self.r
         x4, y4 = st.mb_block_origin(addr)
-        n_ref = self.num_ref_active[0]
+        bframe = self.slice_type == SliceType.B
         if mbt == M.P16x16:
             parts = [(0, 0, 4, 4, 0)]
         elif mbt == M.P16x8:
@@ -213,34 +256,50 @@ class CavlcSliceParser:
             parts = [(0, 0, 2, 4, 0), (2, 0, 2, 4, 1)]
         else:
             parts = [((b8 & 1) * 2, (b8 >> 1) * 2, 2, 2, b8) for b8 in range(4)]
-        allrefzero = int(st.raw_mb_type[addr]) == 5
-        for (bx, by, w4, h4, b8) in parts:
-            if st.b8mode[addr][b8] == M.IBLOCK:
-                continue
-            ref = r.te(n_ref - 1) if (n_ref > 1 and not allrefzero) else 0
-            st.ref_idx[0, y4 + by : y4 + by + h4, x4 + bx : x4 + bx + w4] = ref
-        for (bx, by, w4, h4, b8) in parts:
-            b8m = int(st.b8mode[addr][b8])
-            if b8m == M.IBLOCK:
-                continue
-            if mbt == M.P8x8:
-                sw, sh_ = {M.B8_8x8: (2, 2), M.B8_8x4: (2, 1),
-                           M.B8_4x8: (1, 2), M.B8_4x4: (1, 1)}[b8m]
-                subs = [
-                    (bx + dx, by + dy)
-                    for dy in range(0, 2, sh_)
-                    for dx in range(0, 2, sw)
-                ]
-                dims = (sw, sh_)
-            else:
-                subs = [(bx, by)]
-                dims = (w4, h4)
-            for (sx, sy) in subs:
-                mvdx = r.se()
-                mvdy = r.se()
-                st.mvd[0, y4 + sy : y4 + sy + dims[1], x4 + sx : x4 + sx + dims[0]] = (
-                    mvdx, mvdy,
-                )
+        allrefzero = not bframe and int(st.raw_mb_type[addr]) == 5
+        # ref_idx: list0 then list1, per partition (spec §7.3.5.1 order)
+        for lst in (0, 1):
+            if lst == 1 and not bframe:
+                break
+            n_ref = self.num_ref_active[lst]
+            for (bx, by, w4, h4, b8) in parts:
+                b8m = int(st.b8mode[addr][b8])
+                pdir = int(st.b8pdir[addr][b8])
+                if b8m == M.IBLOCK or (mbt == M.P8x8 and b8m == M.B8_DIRECT):
+                    continue
+                if bframe and pdir != lst and pdir != M.PD_BI:
+                    continue
+                ref = r.te(n_ref - 1) if (n_ref > 1 and not allrefzero) else 0
+                st.ref_idx[lst, y4 + by : y4 + by + h4, x4 + bx : x4 + bx + w4] = ref
+        # mvd: list0 then list1, per sub-partition
+        for lst in (0, 1):
+            if lst == 1 and not bframe:
+                break
+            for (bx, by, w4, h4, b8) in parts:
+                b8m = int(st.b8mode[addr][b8])
+                pdir = int(st.b8pdir[addr][b8])
+                if b8m == M.IBLOCK or (mbt == M.P8x8 and b8m == M.B8_DIRECT):
+                    continue
+                if bframe and pdir != lst and pdir != M.PD_BI:
+                    continue
+                if mbt == M.P8x8:
+                    sw, sh_ = {M.B8_8x8: (2, 2), M.B8_8x4: (2, 1),
+                               M.B8_4x8: (1, 2), M.B8_4x4: (1, 1)}[b8m]
+                    subs = [
+                        (bx + dx, by + dy)
+                        for dy in range(0, 2, sh_)
+                        for dx in range(0, 2, sw)
+                    ]
+                    dims = (sw, sh_)
+                else:
+                    subs = [(bx, by)]
+                    dims = (w4, h4)
+                for (sx, sy) in subs:
+                    mvdx = r.se()
+                    mvdy = r.se()
+                    st.mvd[
+                        lst, y4 + sy : y4 + sy + dims[1], x4 + sx : x4 + sx + dims[0]
+                    ] = (mvdx, mvdy)
 
     # ------------------------------------------------------------------
     def _predict_nnz(self, addr, bx, by, plane=0):

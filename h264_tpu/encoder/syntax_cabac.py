@@ -33,6 +33,11 @@ _MAX_C2 = T.MAX_C2.tolist()
 _ZZ4 = M.ZZ_SCAN_4x4.tolist()
 _BLK4 = M.BLK4_TO_XY.tolist()
 
+# B-slice mb_type/sub_mb_type inverses (mbtables maps raw -> semantics)
+_B_16x8_CODE = {pd: raw for raw, pd in M.B_PDIR_16x8.items()}
+_B_8x16_CODE = {pd: raw for raw, pd in M.B_PDIR_8x16.items()}
+_SUB_MB_B_CODE = {mp: v for v, mp in enumerate(M.SUB_MB_B)}
+
 DC_PRED = 2
 
 
@@ -60,9 +65,9 @@ class CabacSliceWriter:
         rec = RecordingCabac()
         self.enc = rec
         st = self.st
-        is_p = self.slice_type in (SliceType.P, SliceType.SP)
+        is_pb = self.slice_type in (SliceType.P, SliceType.SP, SliceType.B)
         for i, addr in enumerate(mb_addrs):
-            if is_p:
+            if is_pb:
                 self._write_mb_skip(addr, bool(st.skip_flag[addr]))
             if not st.skip_flag[addr]:
                 self._write_mb(addr)
@@ -87,8 +92,12 @@ class CabacSliceWriter:
         up, left = st.mb_up(addr), st.mb_left(addr)
         a = 1 if (left >= 0 and not st.skip_flag[left]) else 0
         b = 1 if (up >= 0 and not st.skip_flag[up]) else 0
-        s, m, base = self.ctx.group("MB_TYPE", 1)
-        self.enc.decision((s, m), base + a + b, 1 if skipped else 0)
+        if self.slice_type == SliceType.B:
+            s, m, base = self.ctx.group("MB_TYPE", 2)
+            self.enc.decision((s, m), base + 7 + a + b, 1 if skipped else 0)
+        else:
+            s, m, base = self.ctx.group("MB_TYPE", 1)
+            self.enc.decision((s, m), base + a + b, 1 if skipped else 0)
 
     def _write_mb(self, addr: int):
         st = self.st
@@ -100,12 +109,16 @@ class CabacSliceWriter:
         # mb_type
         if self.slice_type == SliceType.I:
             self._write_mb_type_I(addr, mbt, cbp)
+        elif self.slice_type == SliceType.B:
+            self._write_mb_type_B(addr, mbt, cbp)
         else:
             self._write_mb_type_P(addr, mbt, cbp)
 
         if mbt == M.P8x8:
             for b8 in range(4):
-                self._write_sub_mb_type(int(st.b8mode[addr][b8]))
+                self._write_sub_mb_type(
+                    int(st.b8mode[addr][b8]), int(st.b8pdir[addr][b8])
+                )
 
         if mbt in (M.I4MB, M.I8MB) and self.pps.transform_8x8_mode_flag:
             self._write_transform_size(addr, mbt == M.I8MB)
@@ -156,6 +169,24 @@ class CabacSliceWriter:
         enc.decision(g, base + 7, (i16 >> 1) & 1)
         enc.decision(g, base + 8, i16 & 1)
 
+    def _write_i16_suffix(self, cbp: int, i16mode: int):
+        """Intra-16x16 suffix for P/B mb_type (dual of _read_i16_suffix:
+        terminate(0) = not IPCM, then ac/cc/mode bins on row-1 ctx 8-10)."""
+        enc = self.enc
+        enc.terminate(0)  # not IPCM
+        s, m, base = self.ctx.group("MB_TYPE", 1)
+        g = (s, m)
+        ac = 1 if (cbp & 15) else 0
+        cc = (cbp >> 4) & 3
+        enc.decision(g, base + 8, ac)
+        if cc == 0:
+            enc.decision(g, base + 9, 0)
+        else:
+            enc.decision(g, base + 9, 1)
+            enc.decision(g, base + 9, 1 if cc == 2 else 0)
+        enc.decision(g, base + 10, (i16mode >> 1) & 1)
+        enc.decision(g, base + 10, i16mode & 1)
+
     def _write_mb_type_P(self, addr: int, mbt: int, cbp: int):
         st = self.st
         enc = self.enc
@@ -168,18 +199,7 @@ class CabacSliceWriter:
                 enc.decision(g, base + 7, 0)  # act 6
                 return
             enc.decision(g, base + 7, 1)  # act 7 -> I16 suffix
-            enc.terminate(0)  # not IPCM
-            i16 = int(st.i16mode[addr])
-            ac = 1 if (cbp & 15) else 0
-            cc = (cbp >> 4) & 3
-            enc.decision(g, base + 8, ac)
-            if cc == 0:
-                enc.decision(g, base + 9, 0)
-            else:
-                enc.decision(g, base + 9, 1)
-                enc.decision(g, base + 9, 1 if cc == 2 else 0)
-            enc.decision(g, base + 10, (i16 >> 1) & 1)
-            enc.decision(g, base + 10, i16 & 1)
+            self._write_i16_suffix(cbp, int(st.i16mode[addr]))
             return
         enc.decision(g, base + 4, 0)
         if mbt == M.P16x16:  # act 1
@@ -197,8 +217,72 @@ class CabacSliceWriter:
         else:
             raise NotImplementedError(f"P mb_type {mbt}")
 
-    def _write_sub_mb_type(self, b8mode: int):
+    def _write_mb_type_B(self, addr: int, mbt: int, cbp: int):
+        """Dual of _read_mb_type_B: binarize the raw B mb_type value."""
+        st = self.st
         enc = self.enc
+        up, left = st.mb_up(addr), st.mb_left(addr)
+        s, m, base = self.ctx.group("MB_TYPE", 2)
+        g = (s, m)
+        a = 1 if (left >= 0 and st.mb_type[left] != 0) else 0
+        b = 1 if (up >= 0 and st.mb_type[up] != 0) else 0
+        # raw coded value from the state fields
+        if mbt == M.I4MB or mbt == M.I8MB:
+            raw = 23
+        elif mbt == M.I16MB:
+            raw = 24  # prefix; suffix carries cbp/mode
+        elif mbt == 0:
+            raw = 0
+        elif mbt == M.P16x16:
+            raw = {0: 1, 1: 2, 2: 3}[int(st.b8pdir[addr][0])]
+        elif mbt == M.P16x8:
+            raw = _B_16x8_CODE[(int(st.b8pdir[addr][0]), int(st.b8pdir[addr][2]))]
+        elif mbt == M.P8x16:
+            raw = _B_8x16_CODE[(int(st.b8pdir[addr][0]), int(st.b8pdir[addr][1]))]
+        elif mbt == M.P8x8:
+            raw = 22
+        else:
+            raise NotImplementedError(f"B mb_type {mbt}")
+        if raw == 0:
+            enc.decision(g, base + a + b, 0)
+            return
+        enc.decision(g, base + a + b, 1)
+        if raw in (1, 2):
+            enc.decision(g, base + 4, 0)
+            enc.decision(g, base + 6, 1 if raw == 2 else 0)
+            return
+        enc.decision(g, base + 4, 1)
+        if 3 <= raw <= 10:
+            enc.decision(g, base + 5, 0)
+            v = raw - 3
+            enc.decision(g, base + 6, (v >> 2) & 1)
+            enc.decision(g, base + 6, (v >> 1) & 1)
+            enc.decision(g, base + 6, v & 1)
+            return
+        enc.decision(g, base + 5, 1)
+        # act0 = 12 + 8*b1 + 4*b2 + 2*b3 with remaps 24->11, 26->22, 22->23(+bit)
+        if raw == 11:
+            act0, tail = 24, None
+        elif raw == 22:
+            act0, tail = 26, None
+        elif raw in (23, 24):
+            act0, tail = 22, raw - 23
+        else:  # 12..21
+            act0, tail = raw & ~1, raw & 1
+        v = (act0 - 12) >> 1
+        enc.decision(g, base + 6, (v >> 2) & 1)
+        enc.decision(g, base + 6, (v >> 1) & 1)
+        enc.decision(g, base + 6, v & 1)
+        if tail is not None:
+            enc.decision(g, base + 6, tail)
+        if mbt == M.I16MB:
+            self._write_i16_suffix(cbp, int(st.i16mode[addr]))
+
+    def _write_sub_mb_type(self, b8mode: int, b8pdir: int = 0):
+        enc = self.enc
+        if self.slice_type == SliceType.B:
+            self._write_sub_mb_type_B(b8mode, b8pdir)
+            return
         s, m, base = self.ctx.group("B8_TYPE", 0)
         g = (s, m)
         if b8mode == M.B8_8x8:  # value 0
@@ -213,6 +297,38 @@ class CabacSliceWriter:
         else:  # 4x4, value 3
             enc.decision(g, base + 3, 1)
             enc.decision(g, base + 4, 0)
+
+    def _write_sub_mb_type_B(self, b8mode: int, b8pdir: int):
+        """Dual of _read_sub_mb_type's B branch (value = SUB_MB_B index)."""
+        enc = self.enc
+        val = _SUB_MB_B_CODE[(b8mode, b8pdir)]
+        s, m, base = self.ctx.group("B8_TYPE", 1)
+        g = (s, m)
+        if val == 0:  # direct
+            enc.decision(g, base + 0, 0)
+            return
+        enc.decision(g, base + 0, 1)
+        act = val - 1
+        if act <= 1:
+            enc.decision(g, base + 1, 0)
+            enc.decision(g, base + 3, act)
+            return
+        enc.decision(g, base + 1, 1)
+        if act <= 5:
+            enc.decision(g, base + 2, 0)
+            v = act - 2
+            enc.decision(g, base + 3, (v >> 1) & 1)
+            enc.decision(g, base + 3, v & 1)
+            return
+        enc.decision(g, base + 2, 1)
+        if act <= 9:
+            enc.decision(g, base + 3, 0)
+            v = act - 6
+            enc.decision(g, base + 3, (v >> 1) & 1)
+            enc.decision(g, base + 3, v & 1)
+            return
+        enc.decision(g, base + 3, 1)
+        enc.decision(g, base + 3, act - 10)
 
     def _write_transform_size(self, addr: int, flag: bool):
         st = self.st
@@ -380,7 +496,11 @@ class CabacSliceWriter:
     def _write_motion(self, addr: int, mbt: int):
         st = self.st
         x4, y4 = st.mb_block_origin(addr)
-        n_ref = self.sh.num_ref_idx_l0_active_minus1 + 1
+        bframe = self.slice_type == SliceType.B
+        n_active = (
+            self.sh.num_ref_idx_l0_active_minus1 + 1,
+            self.sh.num_ref_idx_l1_active_minus1 + 1,
+        )
         if mbt == M.P16x16:
             parts = [(0, 0, 4, 4, 0)]
         elif mbt == M.P16x8:
@@ -389,26 +509,52 @@ class CabacSliceWriter:
             parts = [(0, 0, 2, 4, 0), (2, 0, 2, 4, 1)]
         else:
             parts = [((b8 & 1) * 2, (b8 >> 1) * 2, 2, 2, b8) for b8 in range(4)]
-        if n_ref > 1:
+
+        def active(lst, b8):
+            b8m = int(st.b8mode[addr][b8])
+            pdir = int(st.b8pdir[addr][b8])
+            if b8m == M.IBLOCK or (mbt == M.P8x8 and b8m == M.B8_DIRECT):
+                return False
+            if bframe and pdir != lst and pdir != M.PD_BI:
+                return False
+            return True
+
+        # ref_idx: list0 then list1, per partition (decoder read order)
+        for lst in (0, 1):
+            if lst == 1 and not bframe:
+                break
+            if n_active[lst] <= 1:
+                continue
             for (bx, by, _, _, b8) in parts:
-                self._write_ref_idx(addr, 0, bx, by, int(st.ref_idx[0, y4 + by, x4 + bx]))
-        for (bx, by, w4, h4, b8) in parts:
-            if mbt == M.P8x8:
-                b8m = int(st.b8mode[addr][b8])
-                sw, sh_ = {M.B8_8x8: (2, 2), M.B8_8x4: (2, 1),
-                           M.B8_4x8: (1, 2), M.B8_4x4: (1, 1)}[b8m]
-                subs = [
-                    (bx + dx, by + dy)
-                    for dy in range(0, 2, sh_)
-                    for dx in range(0, 2, sw)
-                ]
-            else:
-                subs = [(bx, by)]
-            for (sx, sy) in subs:
-                for comp in range(2):
-                    self._write_mvd(
-                        addr, 0, sx, sy, comp, int(st.mvd[0, y4 + sy, x4 + sx, comp])
-                    )
+                if not active(lst, b8):
+                    continue
+                self._write_ref_idx(
+                    addr, lst, bx, by, int(st.ref_idx[lst, y4 + by, x4 + bx])
+                )
+        # mvd: list0 then list1, per sub-partition
+        for lst in (0, 1):
+            if lst == 1 and not bframe:
+                break
+            for (bx, by, w4, h4, b8) in parts:
+                if not active(lst, b8):
+                    continue
+                if mbt == M.P8x8:
+                    b8m = int(st.b8mode[addr][b8])
+                    sw, sh_ = {M.B8_8x8: (2, 2), M.B8_8x4: (2, 1),
+                               M.B8_4x8: (1, 2), M.B8_4x4: (1, 1)}[b8m]
+                    subs = [
+                        (bx + dx, by + dy)
+                        for dy in range(0, 2, sh_)
+                        for dx in range(0, 2, sw)
+                    ]
+                else:
+                    subs = [(bx, by)]
+                for (sx, sy) in subs:
+                    for comp in range(2):
+                        self._write_mvd(
+                            addr, lst, sx, sy, comp,
+                            int(st.mvd[lst, y4 + sy, x4 + sx, comp]),
+                        )
 
     def _write_ref_idx(self, addr, lst, bx, by, ref):
         st = self.st
@@ -422,6 +568,12 @@ class CabacSliceWriter:
             b8 = (nbx // 2) % 2 + 2 * ((nby // 2) % 2)
             if st.mb_type[mb] == M.IPCM:
                 return 0
+            if (
+                self.slice_type == SliceType.B
+                and st.mb_type[mb] == 0
+                and not st.is_intra[mb]
+            ):
+                return 0  # direct MB
             if st.b8mode[mb][b8] == 0 and st.b8pdir[mb][b8] == 2:
                 return 0
             return 1 if st.ref_idx[lst, py, px] > 0 else 0

@@ -25,6 +25,11 @@ _ZZ4 = M.ZZ_SCAN_4x4
 _CBP_CODE_INTRA = {cbp: T.NCBP[1][cbp][0] for cbp in range(48)}
 _CBP_CODE_INTER = {cbp: T.NCBP[1][cbp][1] for cbp in range(48)}
 
+# B-slice mb_type inverses (mbtables B_PDIR_* maps raw -> pdirs)
+_B_16x8_CODE = {pd: raw for raw, pd in M.B_PDIR_16x8.items()}
+_B_8x16_CODE = {pd: raw for raw, pd in M.B_PDIR_8x16.items()}
+_SUB_MB_B_CODE = {mp: v for v, mp in enumerate(M.SUB_MB_B)}
+
 DC_PRED = 2
 
 
@@ -46,19 +51,23 @@ class CavlcSliceWriter:
     # ------------------------------------------------------------------
     def write_slice_data(self, w: BitWriter, mb_addrs: list[int]):
         st = self.st
-        is_p = self.sh.slice_type in (SliceType.P, SliceType.SP)
-        if self.trace is None and self._try_native(w, mb_addrs, is_p):
+        is_pb = self.sh.slice_type in (SliceType.P, SliceType.SP, SliceType.B)
+        if (
+            self.trace is None
+            and self.sh.slice_type != SliceType.B
+            and self._try_native(w, mb_addrs, is_pb)
+        ):
             return
         skip_run = 0
         for addr in mb_addrs:
-            if is_p and st.skip_flag[addr]:
+            if is_pb and st.skip_flag[addr]:
                 skip_run += 1
                 continue
-            if is_p:
+            if is_pb:
                 w.ue(skip_run)
                 skip_run = 0
             self._write_mb(w, addr)
-        if is_p and skip_run:
+        if is_pb and skip_run:
             w.ue(skip_run)
 
     # ------------------------------------------------------------------
@@ -66,6 +75,7 @@ class CavlcSliceWriter:
         st = self.st
         mbt = int(st.mb_type[addr])
         is_p = self.sh.slice_type in (SliceType.P, SliceType.SP)
+        is_b = self.sh.slice_type == SliceType.B
         cbp = int(st.cbp[addr])
 
         # mb_type
@@ -74,9 +84,11 @@ class CavlcSliceWriter:
                 int(st.i16mode[addr])
                 + 4 * {0: 0, 16: 1, 32: 2, 15: 3, 31: 4, 47: 5}[cbp]
             )
-            val = (6 if is_p else 1) + i16off
+            val = (24 if is_b else 6 if is_p else 1) + i16off
         elif mbt == M.I4MB:
-            val = 5 if is_p else 0
+            val = 23 if is_b else 5 if is_p else 0
+        elif is_b:
+            val = self._b_mb_type(addr, mbt)
         elif mbt in (M.P16x16, M.P16x8, M.P8x16):
             val = mbt - 1
         elif mbt == M.P8x8:
@@ -91,7 +103,11 @@ class CavlcSliceWriter:
         if mbt == M.P8x8:
             for b8 in range(4):
                 b8m = int(st.b8mode[addr][b8])
-                sub_val = {M.B8_8x8: 0, M.B8_8x4: 1, M.B8_4x8: 2, M.B8_4x4: 3}[b8m]
+                if is_b:
+                    sub_val = _SUB_MB_B_CODE[(b8m, int(st.b8pdir[addr][b8]))]
+                else:
+                    sub_val = {M.B8_8x8: 0, M.B8_8x4: 1, M.B8_4x8: 2,
+                               M.B8_4x4: 3}[b8m]
                 w.ue(sub_val)
 
         # intra prediction info
@@ -181,11 +197,29 @@ class CavlcSliceWriter:
         up_m = int(st.ipredmode[uy, ux]) if ua else -1
         return DC_PRED if (left_m < 0 or up_m < 0) else min(left_m, up_m)
 
+    def _b_mb_type(self, addr: int, mbt: int) -> int:
+        """Inverse of _interpret_B for the inter B mb types."""
+        st = self.st
+        pd = st.b8pdir[addr]
+        if mbt == M.P16x16:
+            return {0: 1, 1: 2, 2: 3}[int(pd[0])]
+        if mbt == M.P16x8:
+            return _B_16x8_CODE[(int(pd[0]), int(pd[2]))]
+        if mbt == M.P8x16:
+            return _B_8x16_CODE[(int(pd[0]), int(pd[1]))]
+        if mbt == M.P8x8:
+            return 22
+        raise NotImplementedError(f"B mb_type {mbt} in CAVLC writer")
+
     # ------------------------------------------------------------------
     def _write_motion(self, w: BitWriter, addr: int, mbt: int):
         st = self.st
         x4, y4 = st.mb_block_origin(addr)
-        n_ref = self.sh.num_ref_idx_l0_active_minus1 + 1
+        bframe = self.sh.slice_type == SliceType.B
+        n_active = (
+            self.sh.num_ref_idx_l0_active_minus1 + 1,
+            self.sh.num_ref_idx_l1_active_minus1 + 1,
+        )
         if mbt == M.P16x16:
             parts = [(0, 0, 4, 4, 0)]
         elif mbt == M.P16x8:
@@ -194,26 +228,48 @@ class CavlcSliceWriter:
             parts = [(0, 0, 2, 4, 0), (2, 0, 2, 4, 1)]
         else:
             parts = [((b8 & 1) * 2, (b8 >> 1) * 2, 2, 2, b8) for b8 in range(4)]
-        # ref idx
-        if n_ref > 1:
+
+        def active(lst, b8):
+            b8m = int(st.b8mode[addr][b8])
+            pdir = int(st.b8pdir[addr][b8])
+            if b8m == M.IBLOCK or (mbt == M.P8x8 and b8m == M.B8_DIRECT):
+                return False
+            if bframe and pdir != lst and pdir != M.PD_BI:
+                return False
+            return True
+
+        # ref idx: list0 then list1, per partition (spec §7.3.5.1 order)
+        for lst in (0, 1):
+            if lst == 1 and not bframe:
+                break
+            n_ref = n_active[lst]
+            if n_ref <= 1:
+                continue
             for (bx, by, _, _, b8) in parts:
-                w.te(int(st.ref_idx[0, y4 + by, x4 + bx]), n_ref - 1)
-        # mvd
-        for (bx, by, w4, h4, b8) in parts:
-            if mbt == M.P8x8:
-                b8m = int(st.b8mode[addr][b8])
-                sw, sh_ = {M.B8_8x8: (2, 2), M.B8_8x4: (2, 1),
-                           M.B8_4x8: (1, 2), M.B8_4x4: (1, 1)}[b8m]
-                subs = [
-                    (bx + dx, by + dy)
-                    for dy in range(0, 2, sh_)
-                    for dx in range(0, 2, sw)
-                ]
-            else:
-                subs = [(bx, by)]
-            for (sx, sy) in subs:
-                w.se(int(st.mvd[0, y4 + sy, x4 + sx, 0]))
-                w.se(int(st.mvd[0, y4 + sy, x4 + sx, 1]))
+                if not active(lst, b8):
+                    continue
+                w.te(int(st.ref_idx[lst, y4 + by, x4 + bx]), n_ref - 1)
+        # mvd: list0 then list1, per sub-partition
+        for lst in (0, 1):
+            if lst == 1 and not bframe:
+                break
+            for (bx, by, w4, h4, b8) in parts:
+                if not active(lst, b8):
+                    continue
+                if mbt == M.P8x8:
+                    b8m = int(st.b8mode[addr][b8])
+                    sw, sh_ = {M.B8_8x8: (2, 2), M.B8_8x4: (2, 1),
+                               M.B8_4x8: (1, 2), M.B8_4x4: (1, 1)}[b8m]
+                    subs = [
+                        (bx + dx, by + dy)
+                        for dy in range(0, 2, sh_)
+                        for dx in range(0, 2, sw)
+                    ]
+                else:
+                    subs = [(bx, by)]
+                for (sx, sy) in subs:
+                    w.se(int(st.mvd[lst, y4 + sy, x4 + sx, 0]))
+                    w.se(int(st.mvd[lst, y4 + sy, x4 + sx, 1]))
 
     # ------------------------------------------------------------------
     def _predict_nnz(self, addr: int, bx: int, by: int, plane: int = 0) -> int:
