@@ -20,7 +20,13 @@ import numpy as np
 from ..bitstream import NalUnit, write_annexb
 from ..bitstream.writer import BitWriter
 from ..decoder import mbtables as M
-from ..decoder.mv import pmv as predict_mv, _pskip_mv, _neighbor_info
+from ..decoder.mv import (
+    pmv as predict_mv,
+    _pskip_mv,
+    _neighbor_info,
+    _spatial_direct,
+    compute_moving_mask,
+)
 from ..decoder.recon import Planes, _add_residual
 from ..decoder.state import PictureParseState
 from ..ops import interp as MC
@@ -53,25 +59,32 @@ class EncoderConfig:
     fast: bool = False  # device-batched P-frame pipeline
     entropy: str = "cavlc"  # "cavlc" (Baseline) or "cabac" (Main)
     pipeline_depth: int = 8  # frames in flight in encode_stream
+    b_frames: int = 0  # B pictures between anchors (0 = IPPP)
+    qp_b_offset: int = 2  # QP delta for (non-reference) B pictures
 
 
 class H264Encoder:
     def __init__(self, cfg: EncoderConfig):
         assert cfg.width % 16 == 0 and cfg.height % 16 == 0
         self.cfg = cfg
+        use_b = cfg.b_frames > 0
         self.sps = SPS(
-            profile_idc=77 if cfg.entropy == "cabac" else 66,
+            profile_idc=77 if (cfg.entropy == "cabac" or use_b) else 66,
             level_idc=30,
-            num_ref_frames=cfg.num_ref_frames,
+            num_ref_frames=max(2, cfg.num_ref_frames) if use_b
+            else cfg.num_ref_frames,
             pic_width_in_mbs_minus1=cfg.width // 16 - 1,
             pic_height_in_map_units_minus1=cfg.height // 16 - 1,
-            pic_order_cnt_type=2,
+            # B reordering needs explicit POC (decode order != display order)
+            pic_order_cnt_type=0 if use_b else 2,
+            log2_max_pic_order_cnt_lsb_minus4=4,
             log2_max_frame_num_minus4=4,
         )
         self.pps = PPS(entropy_coding_mode_flag=(cfg.entropy == "cabac"))
         self.frame_num = 0
         self.idr_count = 0
         self.recon_pics: list = []  # (poc, planes, state, padded)
+        self.all_recons: list = []  # (poc, planes) of every host-path picture
         self._dev_ref = None  # device-resident ref state (fast path)
         self._prev_poc = 0
         lam = 0.85 * 2.0 ** ((cfg.qp - 12) / 3.0)
@@ -102,6 +115,9 @@ class H264Encoder:
         device-resident reference state, so dispatch never waits on the
         host, and the host upload latency of frame N is amortized across
         the frames already in flight."""
+        if self.cfg.b_frames > 0:
+            yield from self._encode_stream_b(frames)
+            return
         if depth is None:
             depth = self.cfg.pipeline_depth
         pend: list = []
@@ -133,11 +149,54 @@ class H264Encoder:
                     pend = []
         yield from drain(pend)
 
+    def _encode_stream_b(self, frames):
+        """Decode-order picture emission for a GOP with B pictures
+        (capability parity: lencod NumberBFrames, lencod/src/lencod.c
+        SetImgType + image.c B-frame loop).  Pattern I (B^n P)*: each
+        anchor P is encoded before the B pictures it back-references;
+        POC carries the display order (2 * display index)."""
+        nb = self.cfg.b_frames
+        idr_p = self.cfg.idr_period
+        pend: list = []  # buffered display frames awaiting their anchor
+        base = 0  # display index of the last IDR
+        for idx, yuv in enumerate(frames):
+            is_idr = idx == 0 or (idr_p and idx % idr_p == 0)
+            if is_idr:
+                for b_yuv, b_idx in pend:  # close the GOP with P pictures
+                    yield self._encode_picture(
+                        b_yuv, SliceType.P, False, 2 * (b_idx - base)
+                    )
+                pend = []
+                base = idx
+                yield self._encode_picture(yuv, SliceType.I, True, 0)
+            elif len(pend) < nb:
+                pend.append((yuv, idx))
+            else:
+                yield self._encode_picture(
+                    yuv, SliceType.P, False, 2 * (idx - base)
+                )
+                for b_yuv, b_idx in pend:
+                    yield self._encode_picture(
+                        b_yuv, SliceType.B, False, 2 * (b_idx - base)
+                    )
+                pend = []
+        for b_yuv, b_idx in pend:
+            yield self._encode_picture(
+                b_yuv, SliceType.P, False, 2 * (b_idx - base)
+            )
+
     # ------------------------------------------------------------------
     def encode_frame(self, yuv, is_idr: bool) -> list[NalUnit]:
         cfg = self.cfg
-        if not is_idr and cfg.fast:
+        if not is_idr and cfg.fast and cfg.b_frames == 0:
             return self._finish_p_fast(self._start_p_fast(yuv))
+        stype = SliceType.I if is_idr else SliceType.P
+        poc = 0 if is_idr else self._prev_poc + 2
+        return self._encode_picture(yuv, stype, is_idr, poc)
+
+    def _encode_picture(self, yuv, stype: SliceType, is_idr: bool,
+                        poc: int) -> list[NalUnit]:
+        cfg = self.cfg
         Y = np.asarray(yuv[0], np.int32)
         U = np.asarray(yuv[1], np.int32)
         V = np.asarray(yuv[2], np.int32)
@@ -148,8 +207,8 @@ class H264Encoder:
         if is_idr:
             self.recon_pics.clear()
             self.frame_num = 0
-        stype = SliceType.I if is_idr else SliceType.P
-        qp = cfg.qp
+        is_ref = stype != SliceType.B  # B pictures are disposable here
+        qp = cfg.qp + (cfg.qp_b_offset if stype == SliceType.B else 0)
 
         st.slice_id[:] = 0
         st.qp[:] = qp
@@ -157,15 +216,36 @@ class H264Encoder:
         st.qpc[:, 0] = chroma_qp(qp, cb_off)
         st.qpc[:, 1] = chroma_qp(qp, cr_off)
 
-        # device ME pass (whole frame at once)
-        sad_grids = None
-        ref = None
+        # device ME pass (whole frame at once, per reference list)
+        ref0 = ref1 = None
+        grids = [None, None]
+        b_info = None
         if stype == SliceType.P:
-            ref = self.recon_pics[-1]
-            sad_grids = ME.compute_sad_grids(
-                Y, np.asarray(ref[1].Y), cfg.search_range
+            ref0 = self.recon_pics[-1]
+            grids[0] = ME.compute_sad_grids(
+                Y, np.asarray(ref0[1].Y), cfg.search_range
             )
-        enc = _FrameEncoder(self, st, planes, Y, U, V, stype, qp, ref, sad_grids)
+        elif stype == SliceType.B:
+            ref0 = max((p for p in self.recon_pics if p[0] < poc),
+                       key=lambda p: p[0])
+            ref1 = min((p for p in self.recon_pics if p[0] > poc),
+                       key=lambda p: p[0])
+            grids[0] = ME.compute_sad_grids(
+                Y, np.asarray(ref0[1].Y), cfg.search_range
+            )
+            grids[1] = ME.compute_sad_grids(
+                Y, np.asarray(ref1[1].Y), cfg.search_range
+            )
+            b_info = {
+                "type": SliceType.B,
+                "ref_ids": [[ref0[0]], [ref1[0]]],
+                "col": {"moving": compute_moving_mask(ref1[2])},
+                "direct_8x8_inference": sps.direct_8x8_inference_flag,
+                "spatial_direct": True,
+            }
+        enc = _FrameEncoder(self, st, planes, Y, U, V, stype, qp, ref0,
+                            grids[0], ref1=ref1, sad_grids1=grids[1],
+                            b_info=b_info)
         for addr in range(st.n_mbs):
             enc.encode_mb(addr)
 
@@ -177,8 +257,14 @@ class H264Encoder:
             slice_type_code=stype.value,
             frame_num=self.frame_num % sps.max_frame_num,
             is_idr=is_idr,
-            nal_ref_idc=3,
-            idr_pic_id=self.idr_count % 2,
+            nal_ref_idc=3 if is_ref else 0,
+            idr_pic_id=self.idr_count % 2 if is_idr else 0,
+            pic_order_cnt_lsb=(
+                poc % (1 << (sps.log2_max_pic_order_cnt_lsb_minus4 + 4))
+                if sps.pic_order_cnt_type == 0
+                else 0
+            ),
+            direct_spatial_mv_pred_flag=stype == SliceType.B,
             slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
         )
         w = write_slice_header(sh, sps, pps)
@@ -190,23 +276,25 @@ class H264Encoder:
             writer = CavlcSliceWriter(st, sps, pps, sh)
             writer.write_slice_data(w, list(range(st.n_mbs)))
             w.rbsp_trailing_bits()
-        nal = NalUnit(5 if is_idr else 1, 3, w.get_bytes())
+        nal = NalUnit(5 if is_idr else 1, 3 if is_ref else 0, w.get_bytes())
 
-        poc = 2 * self.frame_num
-        if self.cfg.fast:
-            padded = FAST.ref_resources(planes)
-            self._dev_ref = padded
-        else:
-            padded = (
-                MC.pad_plane(planes.Y),
-                MC.pad_plane(planes.U),
-                MC.pad_plane(planes.V),
+        self.all_recons.append((poc, planes))
+        if is_ref:
+            if self.cfg.fast and cfg.b_frames == 0:
+                padded = FAST.ref_resources(planes)
+                self._dev_ref = padded
+            else:
+                padded = (
+                    MC.pad_plane(planes.Y),
+                    MC.pad_plane(planes.U),
+                    MC.pad_plane(planes.V),
+                )
+            self.recon_pics = [(poc, planes, st, padded)][:] if is_idr else (
+                (self.recon_pics + [(poc, planes, st, padded)])
+                [-self.sps.num_ref_frames:]
             )
-        self.recon_pics = [(poc, planes, st, padded)][:] if is_idr else (
-            (self.recon_pics + [(poc, planes, st, padded)])[-self.cfg.num_ref_frames:]
-        )
-        self._prev_poc = poc
-        self.frame_num += 1
+            self._prev_poc = poc
+            self.frame_num += 1
         if is_idr:
             self.idr_count += 1
         return [nal]
@@ -363,7 +451,8 @@ class H264Encoder:
 class _FrameEncoder:
     """Per-frame MB encoding loop (decision + quant + recon)."""
 
-    def __init__(self, parent, st, planes, Y, U, V, stype, qp, ref, sad_grids):
+    def __init__(self, parent, st, planes, Y, U, V, stype, qp, ref, sad_grids,
+                 ref1=None, sad_grids1=None, b_info=None):
         self.p = parent
         self.st = st
         self.pl = planes
@@ -371,12 +460,17 @@ class _FrameEncoder:
         self.stype = stype
         self.qp = qp
         self.qpc = (int(st.qpc[0, 0]), int(st.qpc[0, 1]))
-        self.ref = ref  # (poc, planes, state, padded) or None
-        self.sad_grids = sad_grids
+        self.refs = [ref, ref1]  # (poc, planes, state, padded) or None
+        self.grids = [sad_grids, sad_grids1]
+        self.b_info = b_info
         self.sps = parent.sps
         self.pps = parent.pps
         self.R = parent.cfg.search_range
         self.W = st.W
+        # per-picture lambdas (SetLagrangianMultipliers, lencod/src/slice.c)
+        lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+        self.lambda_mode = lam
+        self.lambda_me = int(np.sqrt(lam) * 65536 + 0.5)
 
     # ------------------------------------------------------------------
     def encode_mb(self, addr: int):
@@ -385,7 +479,9 @@ class _FrameEncoder:
         # overwrites per block (neighbors' MPM depends on this)
         x4, y4 = st.mb_block_origin(addr)
         st.ipredmode[y4 : y4 + 4, x4 : x4 + 4] = 2
-        if self.stype == SliceType.P:
+        if self.stype == SliceType.B:
+            self._encode_b_mb(addr)
+        elif self.stype == SliceType.P:
             inter = self._try_inter(addr)
             intra = self._intra_cost(addr)
             if inter[0] <= intra[0]:
@@ -437,7 +533,7 @@ class _FrameEncoder:
             # neighbors (approximation: decision uses predicted-from-recon
             # so committed recon matches; see _commit_i4)
             i4_cost = self._i4_estimate(addr)
-            bias = int(6 * self.p.lambda_mode)
+            bias = int(6 * self.lambda_mode)
             if i4_cost + bias < i16_cost:
                 return (i4_cost + bias, "I4", None)
         return (i16_cost, "I16", i16_mode)
@@ -608,7 +704,7 @@ class _FrameEncoder:
             pred = IP.pred4x4(mode, up, upright, left, upleft, ua, la, ula, ura)
             cost = int(np.abs(orig - pred).sum())
             if mode != mpm:
-                cost += int(self.p.lambda_mode * 4)
+                cost += int(self.lambda_mode * 4)
             if cost < best[0]:
                 best = (cost, pred, mode)
         return best[1], best[2]
@@ -722,15 +818,15 @@ class _FrameEncoder:
     # ------------------------------------------------------------------
     # inter
     # ------------------------------------------------------------------
-    def _try_inter(self, addr: int):
-        """16x16 ME: grid lookup + MV cost + subpel refine.
-        Returns (cost, mv, pred_y)."""
+    def _try_inter(self, addr: int, lst: int = 0):
+        """16x16 ME on reference list `lst`: grid lookup + MV cost + subpel
+        refine.  Returns (cost, mv, pred_y, pmv, mv_rate_cost)."""
         st = self.st
         mbx, mby = addr % self.W, addr // self.W
         R = self.R
-        grid = self.sad_grids[:, :, mby, mbx]  # (2R+1, 2R+1)
-        px, py = predict_mv(st, addr, 0, 0, 0, 0, 4, 4)
-        lam = self.p.lambda_me
+        grid = self.grids[lst][:, :, mby, mbx]  # (2R+1, 2R+1)
+        px, py = predict_mv(st, addr, lst, 0, 0, 0, 4, 4)
+        lam = self.lambda_me
         # integer search with MV cost
         dyx = np.indices(grid.shape)
         mvx_q = (dyx[1] - R) * 4
@@ -745,7 +841,7 @@ class _FrameEncoder:
         best_cost = int(costs[bdy, bdx])
         mx, my = self._mb_px(addr)
         orig = self.Y[my : my + 16, mx : mx + 16]
-        Ypad = self.ref[3][0]
+        Ypad = self.refs[lst][3][0]
         if self.p.cfg.subpel:
             for step in (2, 1):  # half then quarter
                 center = best_mv
@@ -761,7 +857,10 @@ class _FrameEncoder:
                             best_cost = c
                             best_mv = mv
         pred = self._mc_luma(Ypad, mx, my, best_mv, 16, 16)
-        return (best_cost, best_mv, pred, (px, py))
+        mv_cost = (
+            lam * (ME.mv_bits(best_mv[0] - px) + ME.mv_bits(best_mv[1] - py))
+        ) >> 16
+        return (best_cost, best_mv, pred, (px, py), mv_cost)
 
     def _mc_luma(self, Ypad, px, py, mv, w, h):
         width, height = self.sps.width, self.sps.height
@@ -774,7 +873,7 @@ class _FrameEncoder:
 
     def _commit_inter(self, addr: int, inter):
         st, pl = self.st, self.pl
-        _, mv, pred, (pmx, pmy) = inter
+        _, mv, pred, (pmx, pmy), _mvc = inter
         mx, my = self._mb_px(addr)
         x4, y4 = st.mb_block_origin(addr)
         qp = self.qp
@@ -797,7 +896,7 @@ class _FrameEncoder:
         st.b8pdir[addr] = 0
         st.ref_idx[0, y4 : y4 + 4, x4 : x4 + 4] = 0
         st.mv[0, y4 : y4 + 4, x4 : x4 + 4] = mv
-        st.ref_pic_id[0, y4 : y4 + 4, x4 : x4 + 4] = self.ref[0]
+        st.ref_pic_id[0, y4 : y4 + 4, x4 : x4 + 4] = self.refs[0][0]
         st.mvd[0, y4 : y4 + 4, x4 : x4 + 4] = (mv[0] - pmx, mv[1] - pmy)
         st.cbp[addr] = cbp
 
@@ -805,7 +904,7 @@ class _FrameEncoder:
         cw, ch = self.sps.mb_chroma_size
         cwidth, cheight = self.sps.width >> 1, self.sps.height >> 1
         preds_c = []
-        for plane_pad in (self.ref[3][1], self.ref[3][2]):
+        for plane_pad in (self.refs[0][3][1], self.refs[0][3][2]):
             cx_full = (mx >> 1) + (mv[0] >> 3)
             cy_full = (my >> 1) + (mv[1] >> 3)
             fx, fy = mv[0] & 7, mv[1] & 7
@@ -843,6 +942,182 @@ class _FrameEncoder:
                         br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4
                     ].clip(0, 255)
         pl.Y[my : my + 16, mx : mx + 16] = rec
+
+
+    # ------------------------------------------------------------------
+    # B slices (md_low-style decision over direct/L0/L1/BI/intra;
+    # capability reference: lencod/src/md_low.c + mv-search.c bi-pred)
+    # ------------------------------------------------------------------
+    def _encode_b_mb(self, addr: int):
+        st = self.st
+        mx, my = self._mb_px(addr)
+        orig = self.Y[my : my + 16, mx : mx + 16]
+        lam = self.lambda_me
+        # direct trial: derive spatial-direct motion into the state and
+        # predict exactly like the decoder (per-4x4 MC, bi-average)
+        _spatial_direct(st, addr, self.b_info)
+        pred_dir = self._pred_from_state(addr)
+        cost_dir = int(np.abs(orig - pred_dir[0]).sum())
+        c0 = self._try_inter(addr, 0)
+        c1 = self._try_inter(addr, 1)
+        pred_bi = (c0[2] + c1[2] + 1) >> 1
+        cost_bi = (
+            int(np.abs(orig - pred_bi).sum())
+            + c0[4]
+            + c1[4]
+            + ((lam * 3) >> 16)
+        )
+        intra = self._intra_cost(addr)
+        cands = [
+            (cost_dir, "DIR"),
+            (c0[0] + ((lam * 2) >> 16), "L0"),
+            (c1[0] + ((lam * 2) >> 16), "L1"),
+            (cost_bi, "BI"),
+            (intra[0] + ((lam * 24) >> 16), "INTRA"),
+        ]
+        best = min(cands, key=lambda t: t[0])[1]
+        if best == "DIR":
+            self._commit_direct(addr, pred_dir)
+        elif best == "INTRA":
+            self._reset_motion(addr)
+            self._commit_intra(addr, intra)
+        else:
+            pdir = {"L0": M.PD_L0, "L1": M.PD_L1, "BI": M.PD_BI}[best]
+            self._commit_b(addr, pdir, (c0[1], c1[1]), (c0[3], c1[3]))
+
+    def _reset_motion(self, addr: int):
+        st = self.st
+        x4, y4 = st.mb_block_origin(addr)
+        st.ref_idx[:, y4 : y4 + 4, x4 : x4 + 4] = -1
+        st.mv[:, y4 : y4 + 4, x4 : x4 + 4] = 0
+        st.ref_pic_id[:, y4 : y4 + 4, x4 : x4 + 4] = -(10**9)
+        st.mvd[:, y4 : y4 + 4, x4 : x4 + 4] = 0
+
+    def _pred_from_state(self, addr: int):
+        """MC prediction from the committed motion state, mirroring the
+        decoder's per-4x4 loop (decoder/recon.py _recon_inter) so the
+        encoder reconstruction is bit-exact with any conformant decode."""
+        st = self.st
+        mx, my = self._mb_px(addr)
+        x4, y4 = st.mb_block_origin(addr)
+        width, height = self.sps.width, self.sps.height
+        cw, chh = self.sps.mb_chroma_size
+        cwidth, cheight = width >> 1, height >> 1
+        pred_y = np.empty((16, 16), np.int32)
+        pred_u = np.empty((chh, cw), np.int32)
+        pred_v = np.empty((chh, cw), np.int32)
+        for by in range(4):
+            for bx in range(4):
+                px, py = mx + bx * 4, my + by * 4
+                ys, us, vs = [], [], []
+                for lst in (0, 1):
+                    ref = int(st.ref_idx[lst, y4 + by, x4 + bx])
+                    if ref < 0 or self.refs[lst] is None:
+                        continue
+                    mvx = int(st.mv[lst, y4 + by, x4 + bx, 0])
+                    mvy = int(st.mv[lst, y4 + by, x4 + bx, 1])
+                    Ypad, Upad, Vpad = self.refs[lst][3][:3]
+                    xi = px + (mvx >> 2)
+                    yi = py + (mvy >> 2)
+                    dx, dy = mvx & 3, mvy & 3
+                    xi = max(-(MC.PAD - 8), min(width + MC.PAD - 12, xi))
+                    yi = max(-(MC.PAD - 8), min(height + MC.PAD - 12, yi))
+                    ys.append(MC.luma_block(Ypad, MC.PAD, xi, yi, dx, dy, 4, 4))
+                    cx_full = (px >> 1) + (mvx >> 3)
+                    cy_full = (py >> 1) + (mvy >> 3)
+                    fx, fy = mvx & 7, mvy & 7
+                    cx_full = max(-(MC.PAD - 4), min(cwidth + MC.PAD - 8, cx_full))
+                    cy_full = max(-(MC.PAD - 4), min(cheight + MC.PAD - 8, cy_full))
+                    us.append(
+                        MC.chroma_block(Upad, MC.PAD, cx_full, cy_full, fx, fy, 2, 2)
+                    )
+                    vs.append(
+                        MC.chroma_block(Vpad, MC.PAD, cx_full, cy_full, fx, fy, 2, 2)
+                    )
+                if len(ys) == 2:
+                    yblk = (ys[0] + ys[1] + 1) >> 1
+                    ublk = (us[0] + us[1] + 1) >> 1
+                    vblk = (vs[0] + vs[1] + 1) >> 1
+                else:
+                    yblk, ublk, vblk = ys[0], us[0], vs[0]
+                pred_y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = yblk
+                pred_u[by * 2 : by * 2 + 2, bx * 2 : bx * 2 + 2] = ublk
+                pred_v[by * 2 : by * 2 + 2, bx * 2 : bx * 2 + 2] = vblk
+        return pred_y, pred_u, pred_v
+
+    def _luma_residual_recon(self, addr: int, pred) -> None:
+        """4x4-transform luma residual coding + exact reconstruction
+        against `pred`; sets the luma cbp bits."""
+        st, pl = self.st, self.pl
+        mx, my = self._mb_px(addr)
+        qp = self.qp
+        orig = self.Y[my : my + 16, mx : mx + 16]
+        res = (orig - pred).astype(np.int64)
+        blk_rc = res.reshape(4, 4, 4, 4).swapaxes(1, 2)
+        coefs = TR.forward4x4(blk_rc)
+        offset = Q.default_offset4(qp, False)
+        lev = Q.quant4x4(coefs, qp, offset)
+        cbp = 0
+        for br in range(4):
+            for bc in range(4):
+                blk = int(M.XY_TO_BLK4[br, bc])
+                if lev[br, bc].any():
+                    st.luma_levels[addr, blk] = lev[br, bc]
+                    cbp |= 1 << (2 * (br // 2) + (bc // 2))
+                    st.cbp_blk[addr] |= 1 << (4 * br + bc)
+        st.cbp[addr] = cbp
+        rec = np.empty((16, 16), np.int32)
+        for br in range(4):
+            for bc in range(4):
+                blk = int(M.XY_TO_BLK4[br, bc])
+                levels = st.luma_levels[addr, blk]
+                if levels.any():
+                    deq = Q.dequant4x4(levels, qp).astype(np.int64)
+                    rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = _add_residual(
+                        pred[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4],
+                        TR.inverse4x4(deq),
+                    )
+                else:
+                    rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = pred[
+                        br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4
+                    ].clip(0, 255)
+        pl.Y[my : my + 16, mx : mx + 16] = rec
+
+    def _commit_b(self, addr: int, pdir: int, mvs, pmvs):
+        st = self.st
+        x4, y4 = st.mb_block_origin(addr)
+        st.mb_type[addr] = M.P16x16
+        st.b8mode[addr] = 1
+        st.b8pdir[addr] = pdir
+        st.skip_flag[addr] = 0
+        for lst in (0, 1):
+            if pdir == lst or pdir == M.PD_BI:
+                mv, p = mvs[lst], pmvs[lst]
+                st.ref_idx[lst, y4 : y4 + 4, x4 : x4 + 4] = 0
+                st.mv[lst, y4 : y4 + 4, x4 : x4 + 4] = mv
+                st.ref_pic_id[lst, y4 : y4 + 4, x4 : x4 + 4] = self.refs[lst][0]
+                st.mvd[lst, y4 : y4 + 4, x4 : x4 + 4] = (mv[0] - p[0], mv[1] - p[1])
+            else:
+                st.ref_idx[lst, y4 : y4 + 4, x4 : x4 + 4] = -1
+                st.mv[lst, y4 : y4 + 4, x4 : x4 + 4] = 0
+                st.ref_pic_id[lst, y4 : y4 + 4, x4 : x4 + 4] = -(10**9)
+                st.mvd[lst, y4 : y4 + 4, x4 : x4 + 4] = 0
+        pred_y, pred_u, pred_v = self._pred_from_state(addr)
+        self._luma_residual_recon(addr, pred_y)
+        self._chroma_residual(addr, mc_pred=(pred_u, pred_v))
+
+    def _commit_direct(self, addr: int, pred):
+        st = self.st
+        x4, y4 = st.mb_block_origin(addr)
+        pred_y, pred_u, pred_v = pred
+        st.mb_type[addr] = M.BSKIP_DIRECT
+        st.b8mode[addr] = M.B8_DIRECT
+        st.b8pdir[addr] = M.PD_BI
+        st.mvd[:, y4 : y4 + 4, x4 : x4 + 4] = 0
+        self._luma_residual_recon(addr, pred_y)
+        self._chroma_residual(addr, mc_pred=(pred_u, pred_v))
+        if int(st.cbp[addr]) == 0:
+            st.skip_flag[addr] = 1
 
 
 def _mv_bits_vec(d):

@@ -201,6 +201,8 @@ class CavlcSliceWriter:
         """Inverse of _interpret_B for the inter B mb types."""
         st = self.st
         pd = st.b8pdir[addr]
+        if mbt == M.BSKIP_DIRECT:
+            return 0
         if mbt == M.P16x16:
             return {0: 1, 1: 2, 2: 3}[int(pd[0])]
         if mbt == M.P16x8:

@@ -75,3 +75,27 @@ def test_quality_sane(encoded):
         mse = ((Y.astype(float) - f[0].astype(float)) ** 2).mean()
         psnr = 10 * np.log10(255.0 ** 2 / mse)
         assert psnr > 32.0, psnr
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_b_frames_roundtrip(entropy):
+    """B-picture encode (I B P, spatial direct, bi-pred): our decoder's
+    output must equal the encoder reconstruction bit-for-bit. The same
+    streams are verified bit-exact through the reference ldecod binary
+    (see .claude/skills/verify)."""
+    frames = _foreman_frames(3)
+    enc = H264Encoder(
+        EncoderConfig(
+            width=176, height=144, qp=28, search_range=8,
+            b_frames=1, entropy=entropy,
+        )
+    )
+    stream = enc.encode_sequence(frames)
+    pics = decode_annexb(stream)
+    assert [p.slice_type.name for p in pics] == ["I", "B", "P"]
+    assert [p.poc for p in pics] == [0, 2, 4]
+    encmap = {poc: pl for poc, pl in enc.all_recons}
+    for p in pics:
+        e = encmap[p.poc]
+        for a, b in ((p.planes.Y, e.Y), (p.planes.U, e.U), (p.planes.V, e.V)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
