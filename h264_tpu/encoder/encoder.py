@@ -61,6 +61,8 @@ class EncoderConfig:
     pipeline_depth: int = 8  # frames in flight in encode_stream
     b_frames: int = 0  # B pictures between anchors (0 = IPPP)
     qp_b_offset: int = 2  # QP delta for (non-reference) B pictures
+    rc_bitrate: float = 0.0  # target bits/s; 0 disables rate control
+    rc_fps: float = 30.0  # frame rate assumed by rate control
 
 
 class H264Encoder:
@@ -92,6 +94,14 @@ class H264Encoder:
         self.lambda_mode = lam
         # fast path searches in SSD units -> full lambda_mode weighting
         self.lambda_mode_fx = int(lam * 65536 + 0.5)
+        self.rc = None
+        if cfg.rc_bitrate > 0:
+            from ..control.ratectl import RateControl
+
+            self.rc = RateControl(
+                cfg.rc_bitrate, cfg.rc_fps, cfg.width, cfg.height,
+                gop_size=cfg.idr_period, n_b=cfg.b_frames,
+            )
 
     # ------------------------------------------------------------------
     def headers(self) -> list[NalUnit]:
@@ -138,7 +148,7 @@ class H264Encoder:
             is_idr = idx == 0 or (
                 self.cfg.idr_period and idx % self.cfg.idr_period == 0
             )
-            if is_idr or not self.cfg.fast:
+            if is_idr or not self.cfg.fast or self.rc is not None:
                 yield from drain(pend)
                 pend = []
                 yield self.encode_frame(yuv, is_idr)
@@ -188,7 +198,7 @@ class H264Encoder:
     # ------------------------------------------------------------------
     def encode_frame(self, yuv, is_idr: bool) -> list[NalUnit]:
         cfg = self.cfg
-        if not is_idr and cfg.fast and cfg.b_frames == 0:
+        if not is_idr and cfg.fast and cfg.b_frames == 0 and self.rc is None:
             return self._finish_p_fast(self._start_p_fast(yuv))
         stype = SliceType.I if is_idr else SliceType.P
         poc = 0 if is_idr else self._prev_poc + 2
@@ -208,7 +218,10 @@ class H264Encoder:
             self.recon_pics.clear()
             self.frame_num = 0
         is_ref = stype != SliceType.B  # B pictures are disposable here
-        qp = cfg.qp + (cfg.qp_b_offset if stype == SliceType.B else 0)
+        if self.rc is not None:
+            qp = self.rc.pick_qp(stype.name)
+        else:
+            qp = cfg.qp + (cfg.qp_b_offset if stype == SliceType.B else 0)
 
         st.slice_id[:] = 0
         st.qp[:] = qp
@@ -276,7 +289,11 @@ class H264Encoder:
             writer = CavlcSliceWriter(st, sps, pps, sh)
             writer.write_slice_data(w, list(range(st.n_mbs)))
             w.rbsp_trailing_bits()
-        nal = NalUnit(5 if is_idr else 1, 3 if is_ref else 0, w.get_bytes())
+        rbsp = w.get_bytes()
+        nal = NalUnit(5 if is_idr else 1, 3 if is_ref else 0, rbsp)
+        if self.rc is not None:
+            mad = float(np.abs(Y - np.asarray(planes.Y)).mean())
+            self.rc.post_frame(stype.name, 8 * len(rbsp), mad)
 
         self.all_recons.append((poc, planes))
         if is_ref:
