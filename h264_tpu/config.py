@@ -1,0 +1,174 @@
+"""JM-compatible configuration: .cfg parsing + CLI override semantics.
+
+Capability parity with the reference config system (lencod/src/
+configfile.c:170 Configure / :357 ParseContent — `Param = Value` lines,
+`#` comments, quoted strings, -d/-f config files and -p Param=Value
+overrides; ldecod/src/ldecod.c:508 init_conf — fixed positional decoder
+config).  Re-designed as a typed dataclass core with a JM-name mapping
+layer so reference configs drive the TPU encoder directly for A/B runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from .encoder.encoder import EncoderConfig
+
+
+def parse_cfg_text(text: str) -> dict[str, str]:
+    """Parse JM `Param = Value # comment` lines into a string dict."""
+    out: dict[str, str] = {}
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or "=" not in line:
+            continue
+        key, val = line.split("=", 1)
+        key = key.strip()
+        val = val.strip()
+        if val.startswith('"') and val.endswith('"') and len(val) >= 2:
+            val = val[1:-1]
+        if key:
+            out[key] = val
+    return out
+
+
+def parse_cfg_file(path: str | Path) -> dict[str, str]:
+    return parse_cfg_text(Path(path).read_text(errors="replace"))
+
+
+@dataclass
+class EncoderRunConfig:
+    """Full encoder run description: I/O + codec parameters.
+
+    `params` keeps every raw JM parameter for introspection; the typed
+    fields are the ones this framework acts on.
+    """
+
+    input_file: str = ""
+    output_file: str = "test.264"
+    recon_file: str = ""
+    frames_to_encode: int = 1
+    start_frame: int = 0
+    frame_rate: float = 30.0
+    frame_skip: int = 0
+    out_file_mode: int = 0  # 0 Annex B, 1 RTP packet file
+    enc: EncoderConfig = field(
+        default_factory=lambda: EncoderConfig(width=176, height=144)
+    )
+    params: dict[str, str] = field(default_factory=dict)
+
+
+_TRUE = ("1", "2", "3")
+
+
+def encoder_config_from_params(params: dict[str, str]) -> EncoderRunConfig:
+    """Map JM parameter names onto the TPU encoder's typed config."""
+    g = params.get
+    width = int(g("SourceWidth", 176))
+    height = int(g("SourceHeight", 144))
+    qp = int(g("QPISlice", g("QPFirstFrame", 28)))
+    qp_p = int(g("QPPSlice", g("QPRemainingFrame", qp)))
+    qp_b = int(g("QPBSlice", qp_p + 2))
+    nb = int(g("NumberBFrames", 0))
+    intra_period = int(g("IntraPeriod", 0))
+    # JM IntraPeriod counts P anchors; our idr_period counts display frames
+    idr_period = intra_period * (nb + 1) if intra_period else 0
+    enc = EncoderConfig(
+        width=width,
+        height=height,
+        qp=qp_p,
+        search_range=int(g("SearchRange", 16)),
+        idr_period=idr_period,
+        num_ref_frames=max(1, int(g("NumberReferenceFrames", 1))),
+        entropy="cabac" if g("SymbolMode", "0") in _TRUE else "cavlc",
+        b_frames=nb,
+        qp_b_offset=qp_b - qp_p,
+        enable_deblock=g("LoopFilterDisable", "0") == "0",
+        rc_bitrate=(
+            float(g("Bitrate", 0)) if g("RateControlEnable", "0") in _TRUE
+            else 0.0
+        ),
+        rc_fps=float(g("FrameRate", 30.0)),
+    )
+    return EncoderRunConfig(
+        input_file=g("InputFile", ""),
+        output_file=g("OutputFile", "test.264"),
+        recon_file=g("ReconFile", ""),
+        frames_to_encode=int(g("FramesToBeEncoded", 1)),
+        start_frame=int(g("StartFrame", 0)),
+        frame_rate=float(g("FrameRate", 30.0)),
+        frame_skip=int(g("FrameSkip", 0)),
+        out_file_mode=int(g("OutFileMode", 0)),
+        enc=enc,
+        params=dict(params),
+    )
+
+
+def configure_encoder(argv: list[str]) -> EncoderRunConfig:
+    """JM Configure() semantics (configfile.c:170): -d default file,
+    -f additional files, -p Param=Value overrides, applied in order."""
+    params: dict[str, str] = {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("-d", "-f"):
+            params.update(parse_cfg_file(argv[i + 1]))
+            i += 2
+        elif a == "-p":
+            # -p Param=Value or -p Param = Value split across argv
+            frag = argv[i + 1]
+            j = i + 2
+            while "=" not in frag or frag.endswith("="):
+                frag += argv[j]
+                j += 1
+            params.update(parse_cfg_text(frag))
+            i = j
+        elif a.endswith(".cfg") and "=" not in a:
+            params.update(parse_cfg_file(a))
+            i += 1
+        else:
+            raise SystemExit(f"unknown encoder argument: {a}")
+    return encoder_config_from_params(params)
+
+
+@dataclass
+class DecoderRunConfig:
+    """ldecod positional config (bin/decoder.cfg, ldecod.c:508)."""
+
+    input_file: str = "test.264"
+    output_file: str = "test_dec.yuv"
+    ref_file: str = ""
+    write_uv: bool = True
+    nal_mode: int = 0  # 0 Annex B, 1 RTP
+    ref_offset: int = 0
+    poc_scale: int = 2
+    concealment_mode: int = 0
+    ref_poc_gap: int = 2
+    poc_gap: int = 2
+    silent: bool = False
+
+
+def parse_decoder_cfg(path: str | Path) -> DecoderRunConfig:
+    tokens = []
+    for raw in Path(path).read_text(errors="replace").splitlines():
+        t = raw.split()[0] if raw.split() else ""
+        if t:
+            tokens.append(t)
+    d = DecoderRunConfig()
+    fields_pos = [
+        ("input_file", str), ("output_file", str), ("ref_file", str),
+        ("write_uv", lambda v: bool(int(v))), ("nal_mode", int),
+        ("ref_offset", int), ("poc_scale", int), ("_rate", int),
+        ("_b", int), ("_f", int), ("_lb", str),
+        ("concealment_mode", int), ("ref_poc_gap", int), ("poc_gap", int),
+        ("silent", lambda v: bool(int(v))),
+    ]
+    for (name, conv), tok in zip(fields_pos, tokens):
+        if name.startswith("_"):
+            continue
+        try:
+            setattr(d, name, conv(tok))
+        except ValueError:
+            break  # free-text trailer reached
+    return d

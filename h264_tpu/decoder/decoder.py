@@ -103,9 +103,14 @@ class H264Decoder:
 
     # -- main decode loop --------------------------------------------------
     def decode_stream(self, data: bytes):
-        """Generator of DecodedPicture in decode order."""
+        """Generator of DecodedPicture in decode order (Annex-B input)."""
+        yield from self.decode_nalus(iter_annexb_nalus(data))
+
+    def decode_nalus(self, nalus):
+        """Generator of DecodedPicture in decode order from an iterable of
+        NalUnit (Annex-B or RTP transport already removed)."""
         pending = None
-        for nalu in iter_annexb_nalus(data):
+        for nalu in nalus:
             t = nalu.nal_unit_type
             if t == NalUnitType.SPS:
                 s = parse_sps(nalu.rbsp)
