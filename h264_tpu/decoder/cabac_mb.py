@@ -98,8 +98,9 @@ class CabacSliceParser:
         addr = self.sh.first_mb_in_slice
         decoded = []
         is_pb = self.slice_type in (SliceType.P, SliceType.B, SliceType.SP)
+        nxt = getattr(self, "next_addr", None) or (lambda a: a + 1)
         while True:
-            if addr >= st.n_mbs:
+            if addr < 0 or addr >= st.n_mbs:
                 break
             st.slice_id[addr] = self.slice_id
             st.qp[addr] = self.qp
@@ -116,7 +117,7 @@ class CabacSliceParser:
             self._t("end_of_slice_flag", eos)
             if eos:
                 break
-            addr += 1
+            addr = nxt(addr)
         return decoded
 
     # ------------------------------------------------------------------

@@ -52,6 +52,7 @@ class CavlcSliceParser:
         addr = self.sh.first_mb_in_slice
         decoded = []
         is_pb = self.slice_type in (SliceType.P, SliceType.SP, SliceType.B)
+        nxt = getattr(self, "next_addr", None) or (lambda a: a + 1)
 
         def bookkeep(a):
             st.slice_id[a] = self.slice_id
@@ -69,13 +70,17 @@ class CavlcSliceParser:
                     bookkeep(addr)
                     self._setup_skip(addr)
                     decoded.append(addr)
-                    addr += 1
+                    addr = nxt(addr)
+                    if addr < 0:
+                        addr = st.n_mbs
                 if addr >= st.n_mbs or not r.more_rbsp_data():
                     break
             bookkeep(addr)
             self._read_mb(addr)
             decoded.append(addr)
-            addr += 1
+            addr = nxt(addr)
+            if addr < 0:
+                addr = st.n_mbs
         return decoded
 
     # ------------------------------------------------------------------

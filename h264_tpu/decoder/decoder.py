@@ -168,6 +168,12 @@ class H264Decoder:
             parser.trace = None
         else:
             parser = CavlcSliceParser(rbsp, sh, sps, pps, state, sid)
+        if pps.num_slice_groups_minus1 > 0:
+            from ..syntax.fmo import mb_to_slice_group, next_mb_array
+
+            sg_map = mb_to_slice_group(sps, pps, sh.slice_group_change_cycle)
+            nxt = next_mb_array(sg_map)
+            parser.next_addr = lambda a: int(nxt[a])
         parser.parse()
         pending["slices"].append(sh)
 

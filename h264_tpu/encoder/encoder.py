@@ -63,6 +63,17 @@ class EncoderConfig:
     qp_b_offset: int = 2  # QP delta for (non-reference) B pictures
     rc_bitrate: float = 0.0  # target bits/s; 0 disables rate control
     rc_fps: float = 30.0  # frame rate assumed by rate control
+    # multi-slice / FMO (lencod SliceMode/SliceArgument + slice groups)
+    slice_mode: int = 0  # 0: one slice per group; 1: fixed MBs per slice
+    slice_argument: int = 0  # MBs per slice for slice_mode 1
+    num_slice_groups: int = 1
+    slice_group_map_type: int = 0
+    slice_group_run_length: tuple = ()  # type 0 run lengths (MBs)
+    slice_group_rects: tuple = ()  # type 2 (top_left, bottom_right) pairs
+    slice_group_ids: tuple = ()  # type 6 explicit map
+    slice_group_change_direction: bool = False  # types 3-5
+    slice_group_change_rate: int = 1  # types 3-5 (map units)
+    slice_group_change_cycle: int = 1  # types 3-5
 
 
 class H264Encoder:
@@ -83,6 +94,30 @@ class H264Encoder:
             log2_max_frame_num_minus4=4,
         )
         self.pps = PPS(entropy_coding_mode_flag=(cfg.entropy == "cabac"))
+        if cfg.num_slice_groups > 1:
+            p = self.pps
+            p.num_slice_groups_minus1 = cfg.num_slice_groups - 1
+            p.slice_group_map_type = cfg.slice_group_map_type
+            t = cfg.slice_group_map_type
+            n_mbs = (cfg.width // 16) * (cfg.height // 16)
+            if t == 0:
+                runs = cfg.slice_group_run_length or (1,) * cfg.num_slice_groups
+                p.run_length_minus1 = [r - 1 for r in runs]
+            elif t == 2:
+                p.top_left = [tl for tl, _ in cfg.slice_group_rects]
+                p.bottom_right = [br for _, br in cfg.slice_group_rects]
+            elif t in (3, 4, 5):
+                p.slice_group_change_direction_flag = (
+                    cfg.slice_group_change_direction
+                )
+                p.slice_group_change_rate_minus1 = (
+                    cfg.slice_group_change_rate - 1
+                )
+            elif t == 6:
+                ids = list(cfg.slice_group_ids) or [0] * n_mbs
+                p.slice_group_id = (ids + [0] * n_mbs)[:n_mbs]
+                p.pic_size_in_map_units_minus1 = n_mbs - 1
+        self._multi_slice = cfg.slice_mode != 0 or cfg.num_slice_groups > 1
         self.frame_num = 0
         self.idr_count = 0
         self.recon_pics: list = []  # (poc, planes, state, padded)
@@ -148,7 +183,8 @@ class H264Encoder:
             is_idr = idx == 0 or (
                 self.cfg.idr_period and idx % self.cfg.idr_period == 0
             )
-            if is_idr or not self.cfg.fast or self.rc is not None:
+            if (is_idr or not self.cfg.fast or self.rc is not None
+                    or self._multi_slice):
                 yield from drain(pend)
                 pend = []
                 yield self.encode_frame(yuv, is_idr)
@@ -198,7 +234,8 @@ class H264Encoder:
     # ------------------------------------------------------------------
     def encode_frame(self, yuv, is_idr: bool) -> list[NalUnit]:
         cfg = self.cfg
-        if not is_idr and cfg.fast and cfg.b_frames == 0 and self.rc is None:
+        if (not is_idr and cfg.fast and cfg.b_frames == 0
+                and self.rc is None and not self._multi_slice):
             return self._finish_p_fast(self._start_p_fast(yuv))
         stype = SliceType.I if is_idr else SliceType.P
         poc = 0 if is_idr else self._prev_poc + 2
@@ -223,7 +260,9 @@ class H264Encoder:
         else:
             qp = cfg.qp + (cfg.qp_b_offset if stype == SliceType.B else 0)
 
-        st.slice_id[:] = 0
+        slices = self._partition_slices(st)
+        for sid, addrs in enumerate(slices):
+            st.slice_id[np.asarray(addrs, np.int64)] = sid
         st.qp[:] = qp
         cb_off, cr_off = pps.chroma_qp_offset
         st.qpc[:, 0] = chroma_qp(qp, cb_off)
@@ -265,35 +304,41 @@ class H264Encoder:
         if cfg.enable_deblock:
             deblock_picture(st, sps, planes)
 
-        # bitstream
-        sh = SliceHeader(
-            slice_type_code=stype.value,
-            frame_num=self.frame_num % sps.max_frame_num,
-            is_idr=is_idr,
-            nal_ref_idc=3 if is_ref else 0,
-            idr_pic_id=self.idr_count % 2 if is_idr else 0,
-            pic_order_cnt_lsb=(
-                poc % (1 << (sps.log2_max_pic_order_cnt_lsb_minus4 + 4))
-                if sps.pic_order_cnt_type == 0
-                else 0
-            ),
-            direct_spatial_mv_pred_flag=stype == SliceType.B,
-            slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
-        )
-        w = write_slice_header(sh, sps, pps)
-        if pps.entropy_coding_mode_flag:
-            writer = CabacSliceWriter(st, sps, pps, sh)
-            writer.write_slice_data(w, list(range(st.n_mbs)))
-            # CABAC slices end byte-aligned after the flush; no stop bit
-        else:
-            writer = CavlcSliceWriter(st, sps, pps, sh)
-            writer.write_slice_data(w, list(range(st.n_mbs)))
-            w.rbsp_trailing_bits()
-        rbsp = w.get_bytes()
-        nal = NalUnit(5 if is_idr else 1, 3 if is_ref else 0, rbsp)
+        # bitstream: one NAL per slice
+        nals = []
+        total_bytes = 0
+        for addrs in slices:
+            sh = SliceHeader(
+                first_mb_in_slice=addrs[0],
+                slice_type_code=stype.value,
+                frame_num=self.frame_num % sps.max_frame_num,
+                is_idr=is_idr,
+                nal_ref_idc=3 if is_ref else 0,
+                idr_pic_id=self.idr_count % 2 if is_idr else 0,
+                pic_order_cnt_lsb=(
+                    poc % (1 << (sps.log2_max_pic_order_cnt_lsb_minus4 + 4))
+                    if sps.pic_order_cnt_type == 0
+                    else 0
+                ),
+                direct_spatial_mv_pred_flag=stype == SliceType.B,
+                slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
+                slice_group_change_cycle=cfg.slice_group_change_cycle,
+            )
+            w = write_slice_header(sh, sps, pps)
+            if pps.entropy_coding_mode_flag:
+                writer = CabacSliceWriter(st, sps, pps, sh)
+                writer.write_slice_data(w, addrs)
+                # CABAC slices end byte-aligned after the flush; no stop bit
+            else:
+                writer = CavlcSliceWriter(st, sps, pps, sh)
+                writer.write_slice_data(w, addrs)
+                w.rbsp_trailing_bits()
+            rbsp = w.get_bytes()
+            total_bytes += len(rbsp)
+            nals.append(NalUnit(5 if is_idr else 1, 3 if is_ref else 0, rbsp))
         if self.rc is not None:
             mad = float(np.abs(Y - np.asarray(planes.Y)).mean())
-            self.rc.post_frame(stype.name, 8 * len(rbsp), mad)
+            self.rc.post_frame(stype.name, 8 * total_bytes, mad)
 
         self.all_recons.append((poc, planes))
         if is_ref:

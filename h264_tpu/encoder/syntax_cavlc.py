@@ -52,8 +52,15 @@ class CavlcSliceWriter:
     def write_slice_data(self, w: BitWriter, mb_addrs: list[int]):
         st = self.st
         is_pb = self.sh.slice_type in (SliceType.P, SliceType.SP, SliceType.B)
+        whole_frame = (
+            mb_addrs
+            and mb_addrs[0] == 0
+            and len(mb_addrs) == st.n_mbs
+            and mb_addrs[-1] == st.n_mbs - 1
+        )
         if (
             self.trace is None
+            and whole_frame  # native writer assumes full-frame neighbors
             and self.sh.slice_type != SliceType.B
             and self._try_native(w, mb_addrs, is_pb)
         ):
