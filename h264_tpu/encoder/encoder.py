@@ -260,7 +260,7 @@ class H264Encoder:
         else:
             qp = cfg.qp + (cfg.qp_b_offset if stype == SliceType.B else 0)
 
-        slices = self._partition_slices(st)
+        slices = self._partition_slices()
         for sid, addrs in enumerate(slices):
             st.slice_id[np.asarray(addrs, np.int64)] = sid
         st.qp[:] = qp
@@ -359,7 +359,31 @@ class H264Encoder:
             self.frame_num += 1
         if is_idr:
             self.idr_count += 1
-        return [nal]
+        return nals
+
+    def _partition_slices(self) -> list[list[int]]:
+        """MB address lists per slice, in slice-group scan order.
+
+        Mirrors the reference's slice segmentation over FMO groups
+        (lencod/src/fmo.c FmoGetNextMBNr scan + slice.c:214 slice loop,
+        SliceMode 0/1): each slice group is walked in raster order of its
+        member MBs; slice_mode 1 additionally splits every group into
+        fixed-size runs of `slice_argument` MBs."""
+        from ..syntax.fmo import mb_to_slice_group
+
+        cfg, pps = self.cfg, self.pps
+        sg_map = mb_to_slice_group(self.sps, pps, cfg.slice_group_change_cycle)
+        slices: list[list[int]] = []
+        for g in range(pps.num_slice_groups_minus1 + 1):
+            addrs = [int(a) for a in np.nonzero(sg_map == g)[0]]
+            if not addrs:
+                continue
+            if cfg.slice_mode == 1 and cfg.slice_argument > 0:
+                for i in range(0, len(addrs), cfg.slice_argument):
+                    slices.append(addrs[i : i + cfg.slice_argument])
+            else:
+                slices.append(addrs)
+        return slices
 
     # ------------------------------------------------------------------
     def _start_p_fast(self, yuv):
