@@ -20,7 +20,7 @@ from .cabac_mb import CabacSliceParser
 from .cavlc_mb import CavlcSliceParser
 from .dpb import DPB
 from .mv import compute_moving_mask, derive_mvs
-from .recon import PictureReconstructor, Planes
+from .recon import PictureReconstructor, Planes, build_wp_params
 from .state import PictureParseState
 
 
@@ -99,7 +99,31 @@ class H264Decoder:
                 self.prev_frame_num_offset = off
             tmp = off + sh.frame_num
             return 2 * tmp if sh.nal_ref_idc else 2 * tmp - 1
-        raise NotImplementedError("poc type 1")
+        # POC type 1 (spec §8.2.1.2; ldecod/src/header.c:596 decode_poc)
+        if sh.is_idr:
+            off = 0
+        elif self.prev_frame_num > sh.frame_num:
+            off = self.prev_frame_num_offset + sps.max_frame_num
+        else:
+            off = self.prev_frame_num_offset
+        self.prev_frame_num_offset = off
+        cycle = len(sps.offset_for_ref_frame)
+        abs_frame_num = off + sh.frame_num if cycle else 0
+        if sh.nal_ref_idc == 0 and abs_frame_num > 0:
+            abs_frame_num -= 1
+        expected = 0
+        if abs_frame_num > 0:
+            cycle_cnt = (abs_frame_num - 1) // cycle
+            in_cycle = (abs_frame_num - 1) % cycle
+            expected = cycle_cnt * sum(sps.offset_for_ref_frame)
+            expected += sum(sps.offset_for_ref_frame[: in_cycle + 1])
+        if sh.nal_ref_idc == 0:
+            expected += sps.offset_for_non_ref_pic
+        top = expected + sh.delta_pic_order_cnt[0]
+        bottom = (
+            top + sps.offset_for_top_to_bottom_field + sh.delta_pic_order_cnt[1]
+        )
+        return min(top, bottom)
 
     # -- main decode loop --------------------------------------------------
     def decode_stream(self, data: bytes):
@@ -189,13 +213,19 @@ class H264Decoder:
         self.dpb.update_pic_nums(sh0.frame_num, sps.max_frame_num)
         slice_info = []
         slice_refs = []
+        slice_wp = []
         for sh in pending["slices"]:
             lists = self.dpb.build_lists(sh, poc)
             info = {
                 "type": sh.slice_type,
+                "cur_poc": poc,
                 "ref_ids": [
                     [p.unique_id for p in lists[0]],
                     [p.unique_id for p in lists[1]],
+                ],
+                "ref_lt": [
+                    [p.long_term for p in lists[0]],
+                    [p.long_term for p in lists[1]],
                 ],
                 "col": None,
                 "direct_8x8_inference": sps.direct_8x8_inference_flag,
@@ -203,12 +233,18 @@ class H264Decoder:
             }
             if sh.slice_type == SliceType.B and lists[1]:
                 colpic = lists[1][0]
+                cst = colpic.state
                 info["col"] = {
-                    "moving": compute_moving_mask(colpic.state, colpic.long_term),
+                    "moving": compute_moving_mask(cst, colpic.long_term),
                     "pic": colpic,
+                    "poc": colpic.poc,
+                    "ref_idx0": cst.ref_idx[0],
+                    "ref_idx1": cst.ref_idx[1],
+                    "ref_id0": cst.ref_pic_id[0],
+                    "ref_id1": cst.ref_pic_id[1],
+                    "mv0": cst.mv[0],
+                    "mv1": cst.mv[1],
                 }
-                if not sh.direct_spatial_mv_pred_flag:
-                    raise NotImplementedError("temporal direct")
             slice_info.append(info)
             slice_refs.append(
                 [
@@ -216,11 +252,14 @@ class H264Decoder:
                     [p.padded_planes() for p in lists[1]],
                 ]
             )
+            slice_wp.append(build_wp_params(sh, pps, lists, poc))
 
         if sh0.slice_type != SliceType.I:
             derive_mvs(state, state.slice_id, slice_info)
 
-        recon = PictureReconstructor(state, sps, pps, planes, slice_refs)
+        recon = PictureReconstructor(
+            state, sps, pps, planes, slice_refs, slice_wp
+        )
         for addr in range(state.n_mbs):
             recon.recon_mb(addr)
         deblock_picture(state, sps, planes)
@@ -237,7 +276,14 @@ class H264Decoder:
         if sh0.is_idr and sh0.long_term_reference_flag:
             pic.long_term = True
             pic.long_term_idx = 0
-        self.dpb.store(pic)
+        mmco5 = self.dpb.store(pic, sh0)
+        if mmco5:
+            # spec §8.2.1: after MMCO5 the current picture acts as POC 0
+            pic.poc = 0
+            pic.frame_num = 0
+            self.prev_poc_msb = self.prev_poc_lsb = 0
+            self.prev_frame_num = 0
+            self.prev_frame_num_offset = 0
         return pic
 
 

@@ -106,8 +106,12 @@ def derive_mvs(st: PictureParseState, slice_of_mb, slice_info):
         x4, y4 = st.mb_block_origin(addr)
         ref_ids = info["ref_ids"]
         if stype == SliceType.B:
+            direct = (
+                _spatial_direct if info.get("spatial_direct", True)
+                else _temporal_direct
+            )
             if mbt == 0:  # B skip / direct 16x16
-                _spatial_direct(st, addr, info)
+                direct(st, addr, info)
                 continue
             _derive_inter_mb(st, addr, info, bframe=True)
         else:
@@ -141,7 +145,10 @@ def _derive_inter_mb(st, addr, info, bframe):
                 continue
             if mbt == M.P8x8 and b8mode == M.B8_DIRECT:
                 if lst == 0:  # derive once
-                    _spatial_direct_b8(st, addr, info, b8)
+                    if info.get("spatial_direct", True):
+                        _spatial_direct_b8(st, addr, info, b8)
+                    else:
+                        _temporal_direct(st, addr, info, b8=b8)
                 continue
             if pdir != lst and pdir != M.PD_BI:
                 continue
@@ -281,6 +288,89 @@ def _spatial_direct_b8(st, addr, info, b8):
                 st, 1, x4, y4, bx, by, 1, 1, r1, m1,
                 ref_ids[1][r1] if r1 >= 0 else -(10 ** 9),
             )
+
+
+def _cdiv(a: int, b: int) -> int:
+    """C-style integer division (truncate toward zero)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _clip3(lo, hi, v):
+    return max(lo, min(hi, v))
+
+
+def dist_scale_factor(cur_poc: int, poc0: int, poc1: int) -> int:
+    """DistScaleFactor per spec §8.4.1.2.3 (8-202..8-203); used by both
+    temporal direct and implicit weighted prediction."""
+    tb = _clip3(-128, 127, cur_poc - poc0)
+    td = _clip3(-128, 127, poc1 - poc0)
+    tx = _cdiv(16384 + abs(_cdiv(td, 2)), td)
+    return _clip3(-1024, 1023, (tb * tx + 32) >> 6)
+
+
+def _temporal_direct(st, addr, info, b8=None):
+    """Temporal direct MV derivation (spec §8.4.1.2.3; reference
+    lencod/src/mv-search.c:1462 Get_Direct_Motion_Vectors temporal branch,
+    ldecod/src/macroblock.c decode_one_macroblock direct path).
+
+    The colocated block lives in RefPicList1[0]; its L0 motion (falling
+    back to L1) is scaled by the POC-distance ratio. refIdxL0 maps the
+    colocated reference into the *current* list0 by unique picture id."""
+    col = info["col"]
+    x4, y4 = st.mb_block_origin(addr)
+    ref_ids = info["ref_ids"]
+    cur_poc = info["cur_poc"]
+    poc1 = col["poc"]  # POC of RefPicList1[0] (the colocated picture)
+    inference = info.get("direct_8x8_inference", True)
+    if b8 is None:
+        rng = [(bx, by) for by in range(4) for bx in range(4)]
+    else:
+        bx0, by0 = (b8 & 1) * 2, (b8 >> 1) * 2
+        rng = [(bx0 + dx, by0 + dy) for dy in range(2) for dx in range(2)]
+    for bx, by in rng:
+        if inference:
+            cx = (bx & 2) + ((bx & 2) >> 1)
+            cy = (by & 2) + ((by & 2) >> 1)
+        else:
+            cx, cy = bx, by
+        ry, rx = y4 + cy, x4 + cx
+        # colocated motion: L0, fall back to L1
+        if int(col["ref_idx0"][ry, rx]) >= 0:
+            ref_id = int(col["ref_id0"][ry, rx])
+            mv_col = (int(col["mv0"][ry, rx, 0]), int(col["mv0"][ry, rx, 1]))
+            col_intra = False
+        elif int(col["ref_idx1"][ry, rx]) >= 0:
+            ref_id = int(col["ref_id1"][ry, rx])
+            mv_col = (int(col["mv1"][ry, rx, 0]), int(col["mv1"][ry, rx, 1]))
+            col_intra = False
+        else:
+            col_intra = True
+        if col_intra:
+            ref_l0, mv_l0, mv_l1 = 0, (0, 0), (0, 0)
+        else:
+            try:
+                mapped = ref_ids[0].index(ref_id)
+            except ValueError:
+                raise ValueError(
+                    f"temporal direct: colocated ref id {ref_id} not in "
+                    f"current list0 {ref_ids[0]}"
+                )
+            ref_l0 = mapped
+            poc0 = ref_id  # unique_id IS the POC
+            lt = bool(info.get("ref_lt", [[False] * 64] * 2)[0][mapped])
+            if lt or poc1 == poc0:
+                mv_l0, mv_l1 = mv_col, (0, 0)
+            else:
+                dsf = dist_scale_factor(cur_poc, poc0, poc1)
+                mv_l0 = (
+                    (dsf * mv_col[0] + 128) >> 8,
+                    (dsf * mv_col[1] + 128) >> 8,
+                )
+                mv_l1 = (mv_l0[0] - mv_col[0], mv_l0[1] - mv_col[1])
+        _set_block(st, 0, x4, y4, bx, by, 1, 1, ref_l0, mv_l0,
+                   ref_ids[0][ref_l0])
+        _set_block(st, 1, x4, y4, bx, by, 1, 1, 0, mv_l1, ref_ids[1][0])
 
 
 def compute_moving_mask(col_state: PictureParseState, col_is_long_term=False):

@@ -49,6 +49,66 @@ def _add_residual(pred, res_scaled, max_val=255):
     ).astype(np.int32)
 
 
+# ---------------------------------------------------------------------------
+# Weighted prediction (spec §8.4.2.3; ldecod/src/mc_prediction.c:59-148
+# mc_prediction/weighted_mc_prediction/weighted_bi_prediction)
+# ---------------------------------------------------------------------------
+
+def build_wp_params(sh, pps, lists, cur_poc):
+    """Per-slice weighted-prediction parameters, or None when WP is off.
+
+    Explicit (P weighted_pred_flag / B weighted_bipred_idc==1): weights
+    straight from the slice header's pred_weight_table. Implicit (B
+    weighted_bipred_idc==2): per-(i,j) weight pairs from POC distances
+    (logWD=5, offsets 0), matching ldecod/src/image.c:1992 fill_wp_params.
+    """
+    from ..syntax.slice_header import SliceType
+    from .mv import dist_scale_factor
+
+    st = sh.slice_type
+    if st in (SliceType.P, SliceType.SP) and pps.weighted_pred_flag:
+        mode = 1
+    elif st == SliceType.B and pps.weighted_bipred_idc:
+        mode = pps.weighted_bipred_idc
+    else:
+        return None
+    if mode == 1:
+        return {
+            "mode": 1,
+            "ly": sh.luma_log2_weight_denom,
+            "lc": sh.chroma_log2_weight_denom,
+            "w": sh.pred_weights,
+        }
+    tab = {}
+    for i, p0 in enumerate(lists[0]):
+        for j, p1 in enumerate(lists[1]):
+            if p0.poc == p1.poc or p0.long_term or p1.long_term:
+                tab[(i, j)] = (32, 32)
+                continue
+            w1 = dist_scale_factor(cur_poc, p0.poc, p1.poc) >> 2
+            if w1 < -64 or w1 > 128:
+                tab[(i, j)] = (32, 32)
+            else:
+                tab[(i, j)] = (64 - w1, w1)
+    return {"mode": 2, "ly": 5, "lc": 5, "tab": tab}
+
+
+def _wp_uni(pred, w, o, logwd, max_val):
+    p = pred.astype(np.int64)
+    if logwd >= 1:
+        out = ((p * w + (1 << (logwd - 1))) >> logwd) + o
+    else:
+        out = p * w + o
+    return out.clip(0, max_val).astype(np.int32)
+
+
+def _wp_bi(p0, p1, w0, o0, w1, o1, logwd, max_val):
+    a = p0.astype(np.int64) * w0
+    b = p1.astype(np.int64) * w1
+    out = ((a + b + (1 << logwd)) >> (logwd + 1)) + ((o0 + o1 + 1) >> 1)
+    return out.clip(0, max_val).astype(np.int32)
+
+
 class IntraReconstructor:
     """Reconstructs intra MBs (I4/I8/I16/IPCM + chroma) in raster order."""
 
@@ -280,11 +340,13 @@ class PictureReconstructor(IntraReconstructor):
     (Ypad, Upad, Vpad) per slice; provided per slice id.
     """
 
-    def __init__(self, st, sps, pps, planes, slice_refs):
+    def __init__(self, st, sps, pps, planes, slice_refs, slice_wp=None):
         super().__init__(st, sps, pps, planes)
         # slice_refs: per slice id: [list0, list1] where each is a list of
         # (Ypad, Upad, Vpad) tuples (padded with MC.PAD)
         self.slice_refs = slice_refs
+        # slice_wp: per slice id: None or build_wp_params() dict
+        self.slice_wp = slice_wp or [None] * len(slice_refs)
 
     def recon_mb(self, addr: int):
         st = self.st
@@ -299,7 +361,9 @@ class PictureReconstructor(IntraReconstructor):
         W = st.W
         mx, my = (addr % W) * 16, (addr // W) * 16
         x4, y4 = st.mb_block_origin(addr)
-        refs = self.slice_refs[int(st.slice_id[addr])]
+        sid = int(st.slice_id[addr])
+        refs = self.slice_refs[sid]
+        wp = self.slice_wp[sid]
         width, height = self.sps.width, self.sps.height
         cw, ch = self.sps.mb_chroma_size
         cwidth, cheight = width >> 1, height >> 1
@@ -312,10 +376,12 @@ class PictureReconstructor(IntraReconstructor):
             for bx in range(4):
                 px, py = mx + bx * 4, my + by * 4
                 preds_y, preds_u, preds_v = [], [], []
+                used = []  # (lst, ref_idx) parallel to preds_*
                 for lst in (0, 1):
                     ref = int(st.ref_idx[lst, y4 + by, x4 + bx])
                     if ref < 0:
                         continue
+                    used.append((lst, ref))
                     mvx = int(st.mv[lst, y4 + by, x4 + bx, 0])
                     mvy = int(st.mv[lst, y4 + by, x4 + bx, 1])
                     Ypad, Upad, Vpad = refs[lst][ref]
@@ -342,9 +408,43 @@ class PictureReconstructor(IntraReconstructor):
                 if not preds_y:
                     raise ValueError(f"no prediction for inter block at MB {addr}")
                 if len(preds_y) == 2:
-                    yblk = (preds_y[0] + preds_y[1] + 1) >> 1
-                    ublk = (preds_u[0] + preds_u[1] + 1) >> 1
-                    vblk = (preds_v[0] + preds_v[1] + 1) >> 1
+                    if wp is not None:
+                        i0, i1 = used[0][1], used[1][1]
+                        if wp["mode"] == 2:
+                            wy0, wy1 = wp["tab"][(i0, i1)]
+                            oy0 = oy1 = 0
+                            wcpair = (((wy0, 0), (wy0, 0)), ((wy1, 0), (wy1, 0)))
+                        else:
+                            pw0, pw1 = wp["w"][0][i0], wp["w"][1][i1]
+                            wy0, oy0 = pw0.luma_weight, pw0.luma_offset
+                            wy1, oy1 = pw1.luma_weight, pw1.luma_offset
+                            wcpair = (
+                                tuple(zip(pw0.chroma_weight, pw0.chroma_offset)),
+                                tuple(zip(pw1.chroma_weight, pw1.chroma_offset)),
+                            )
+                        yblk = _wp_bi(preds_y[0], preds_y[1], wy0, oy0,
+                                      wy1, oy1, wp["ly"], self.max_y)
+                        ublk = _wp_bi(preds_u[0], preds_u[1],
+                                      wcpair[0][0][0], wcpair[0][0][1],
+                                      wcpair[1][0][0], wcpair[1][0][1],
+                                      wp["lc"], self.max_c)
+                        vblk = _wp_bi(preds_v[0], preds_v[1],
+                                      wcpair[0][1][0], wcpair[0][1][1],
+                                      wcpair[1][1][0], wcpair[1][1][1],
+                                      wp["lc"], self.max_c)
+                    else:
+                        yblk = (preds_y[0] + preds_y[1] + 1) >> 1
+                        ublk = (preds_u[0] + preds_u[1] + 1) >> 1
+                        vblk = (preds_v[0] + preds_v[1] + 1) >> 1
+                elif wp is not None and wp["mode"] == 1:
+                    lst0, i0 = used[0]
+                    pw = wp["w"][lst0][i0]
+                    yblk = _wp_uni(preds_y[0], pw.luma_weight, pw.luma_offset,
+                                   wp["ly"], self.max_y)
+                    ublk = _wp_uni(preds_u[0], pw.chroma_weight[0],
+                                   pw.chroma_offset[0], wp["lc"], self.max_c)
+                    vblk = _wp_uni(preds_v[0], pw.chroma_weight[1],
+                                   pw.chroma_offset[1], wp["lc"], self.max_c)
                 else:
                     yblk, ublk, vblk = preds_y[0], preds_u[0], preds_v[0]
                 pred_y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = yblk

@@ -1,0 +1,38 @@
+#!/bin/sh
+# Regenerates the conformance streams in this directory with the JM
+# reference encoder (build per .claude/skills/verify; run from /tmp/jm/bin).
+# Inputs foreman12.yuv / fade8.yuv are derived from
+# /root/reference/bin/foreman_part_qcif.yuv (ping-pong repeat; linear fade)
+# by the python snippets below.
+#
+# python: frames 0,1,2,1,0,1,2,1,0,1,2,1 -> foreman12.yuv
+# python: frames 0,1,2,1,0,1,2,1 scaled by (1 - 0.09*k) -> fade8.yuv
+set -e
+DIR=$(cd "$(dirname "$0")" && pwd)
+cd /tmp/jm/bin
+gen() {
+  name=$1; shift
+  args=""
+  for a in "$@"; do args="$args -p $a"; done
+  ./lencod.exe -d encoder_main.cfg -p InputFile=$DIR/foreman12.yuv \
+    -p FrameSkip=0 -p OutputFile=$DIR/$name.264 \
+    -p ReconFile=$DIR/$name.rec.yuv $args > $DIR/$name.log 2>&1 || true
+}
+genf() {
+  name=$1; shift
+  args=""
+  for a in "$@"; do args="$args -p $a"; done
+  ./lencod.exe -d encoder_main.cfg -p InputFile=$DIR/fade8.yuv \
+    -p FrameSkip=0 -p OutputFile=$DIR/$name.264 \
+    -p ReconFile=$DIR/$name.rec.yuv $args > $DIR/$name.log 2>&1 || true
+}
+gen wp_p FramesToBeEncoded=6 WeightedPrediction=1 NumberBFrames=0
+gen wp_b_expl FramesToBeEncoded=4 WeightedBiprediction=1 NumberBFrames=2 FrameSkip=2
+gen wp_b_impl FramesToBeEncoded=4 WeightedBiprediction=2 NumberBFrames=2 FrameSkip=2
+gen tdirect FramesToBeEncoded=4 DirectModeType=0 NumberBFrames=2 FrameSkip=2
+gen poc1 FramesToBeEncoded=4 PicOrderCntType=1 NumberBFrames=2 FrameSkip=2
+gen multiref FramesToBeEncoded=8 NumberReferenceFrames=4 NumberBFrames=0 PList0References=4
+gen bref FramesToBeEncoded=4 NumberBFrames=2 FrameSkip=2 BReferencePictures=1
+genf wpfade_p FramesToBeEncoded=6 WeightedPrediction=1 NumberBFrames=0
+genf wpfade_b FramesToBeEncoded=4 WeightedBiprediction=1 NumberBFrames=2 FrameSkip=2
+genf wpfade_bimpl FramesToBeEncoded=4 WeightedBiprediction=2 NumberBFrames=2 FrameSkip=2
