@@ -41,6 +41,7 @@ from . import me as ME
 from .syntax_cavlc import CavlcSliceWriter
 from .syntax_cabac import CabacSliceWriter
 from . import fast as FAST
+from . import rd as RD
 
 _ZZ4 = M.ZZ_SCAN_4x4
 
@@ -57,6 +58,8 @@ class EncoderConfig:
     subpel: bool = True
     num_ref_frames: int = 1
     fast: bool = False  # device-batched P-frame pipeline
+    rd: bool = True  # RD mode decision in the fast path (partitions,
+    # multi-ref, skip-RD, intra-in-P); False = legacy P16x16-only path
     entropy: str = "cavlc"  # "cavlc" (Baseline) or "cabac" (Main)
     pipeline_depth: int = 8  # frames in flight in encode_stream
     b_frames: int = 0  # B pictures between anchors (0 = IPPP)
@@ -123,6 +126,7 @@ class H264Encoder:
         self.recon_pics: list = []  # (poc, planes, state, padded)
         self.all_recons: list = []  # (poc, planes) of every host-path picture
         self._dev_ref = None  # device-resident ref state (fast path)
+        self._rd_refs: list = []  # [(poc, bank, cpad)] newest-first (rd path)
         self._prev_poc = 0
         lam = 0.85 * 2.0 ** ((cfg.qp - 12) / 3.0)
         self.lambda_me = int(np.sqrt(lam) * 65536 + 0.5)
@@ -175,7 +179,9 @@ class H264Encoder:
             if len(group) == 1:
                 yield self._finish_p_fast(group[0])
                 return
-            rows = np.asarray(FAST.stack_outputs([p[0] for p in group]))
+            rows = np.asarray(FAST.stack_outputs(
+                [p[1] if isinstance(p[0], str) else p[0] for p in group]
+            ))
             for row, p in zip(rows, group):
                 yield self._finish_p_fast(p, fetched=row)
 
@@ -253,6 +259,7 @@ class H264Encoder:
         planes = Planes(sps)
         if is_idr:
             self.recon_pics.clear()
+            self._rd_refs.clear()
             self.frame_num = 0
         is_ref = stype != SliceType.B  # B pictures are disposable here
         if self.rc is not None:
@@ -343,8 +350,20 @@ class H264Encoder:
         self.all_recons.append((poc, planes))
         if is_ref:
             if self.cfg.fast and cfg.b_frames == 0:
-                padded = FAST.ref_resources(planes)
-                self._dev_ref = padded
+                if cfg.rd:
+                    import jax.numpy as jnp
+
+                    bank, cpad = RD.ref_entry_from_planes(
+                        jnp.asarray(planes.Y), jnp.asarray(planes.U),
+                        jnp.asarray(planes.V),
+                    )
+                    self._rd_refs = ([(poc, bank, cpad)] + self._rd_refs)[
+                        : self.sps.num_ref_frames
+                    ]
+                    padded = None
+                else:
+                    padded = FAST.ref_resources(planes)
+                    self._dev_ref = padded
             else:
                 padded = (
                     MC.pad_plane(planes.Y),
@@ -386,12 +405,188 @@ class H264Encoder:
         return slices
 
     # ------------------------------------------------------------------
+    def _start_p_rd(self, yuv):
+        """Dispatch the device RD pipeline for a P frame (partitions,
+        multi-ref, skip-RD, intra-in-P; encoder/rd.py)."""
+        import jax.numpy as jnp
+
+        cfg, sps, pps = self.cfg, self.sps, self.pps
+        H, W = sps.height, sps.width
+        qp = cfg.qp
+        cb_off, _ = pps.chroma_qp_offset
+        qp_c = chroma_qp(qp, cb_off)
+        cur = tuple(
+            jnp.asarray(np.ascontiguousarray(p, np.uint8)) for p in yuv
+        )
+        banks = jnp.stack([b for (_, b, _) in self._rd_refs])
+        cpads = jnp.stack([c for (_, _, c) in self._rd_refs])
+        host_out, recon, new_entry = RD.rd_p_pipeline(
+            *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 16),
+            qp=qp, qp_c=qp_c, lam=self.lambda_mode_fx,
+            lam_me=self.lambda_mode_fx,
+        )
+        frame_num = self.frame_num
+        self.frame_num += 1
+        ref_pocs = [p for (p, _, _) in self._rd_refs]
+        poc = self._prev_poc + 2
+        self._prev_poc = poc
+        self._rd_refs = ([(poc, new_entry[0], new_entry[1])] + self._rd_refs)[
+            : sps.num_ref_frames
+        ]
+        return ("rd", host_out, recon, frame_num, poc, ref_pocs, qp)
+
+    def _finish_p_rd(self, pending, fetched=None) -> list[NalUnit]:
+        _, host_out, recon, frame_num, poc, ref_pocs, qp = pending
+        cfg, sps, pps = self.cfg, self.sps, self.pps
+        W, H = sps.pic_width_in_mbs, sps.frame_height_in_mbs
+        n_mb = W * H
+        st = PictureParseState(W, H)
+        planes = Planes(sps)
+        st.slice_id[:] = 0
+        st.qp[:] = qp
+        cb_off, cr_off = pps.chroma_qp_offset
+        st.qpc[:, 0] = chroma_qp(qp, cb_off)
+        st.qpc[:, 1] = chroma_qp(qp, cr_off)
+        if fetched is None:
+            fetched = np.asarray(host_out)
+        sizes = [n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, n_mb, n_mb,
+                 256 * n_mb, 16 * n_mb, 128 * n_mb, 8 * n_mb]
+        parts = np.split(fetched, np.cumsum(sizes)[:-1])
+        win = parts[0]
+        ref8 = parts[1].reshape(n_mb, 4)
+        mv8x = parts[2].reshape(n_mb, 4)
+        mv8y = parts[3].reshape(n_mb, 4)
+        i16mode = parts[4]
+        cip = parts[5]
+        lev = parts[6].reshape(n_mb, 4, 4, 4, 4)
+        dc = parts[7].reshape(n_mb, 4, 4)
+        levc = parts[8].reshape(n_mb, 2, 2, 2, 4, 4)
+        dcc = parts[9].reshape(n_mb, 2, 2, 2)
+        planes.Y, planes.U, planes.V = recon
+        self._fill_p_state_rd(st, win, ref8, mv8x, mv8y, i16mode, cip,
+                              lev, dc, levc, dcc, ref_pocs)
+        nr = len(ref_pocs)
+        sh = SliceHeader(
+            slice_type_code=SliceType.P.value,
+            frame_num=frame_num % sps.max_frame_num,
+            is_idr=False,
+            nal_ref_idc=3,
+            num_ref_idx_active_override_flag=nr - 1
+            != pps.num_ref_idx_l0_default_active_minus1,
+            num_ref_idx_l0_active_minus1=nr - 1,
+            slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
+        )
+        w = write_slice_header(sh, sps, pps)
+        if pps.entropy_coding_mode_flag:
+            writer = CabacSliceWriter(st, sps, pps, sh)
+            writer.write_slice_data(w, list(range(st.n_mbs)))
+        else:
+            writer = CavlcSliceWriter(st, sps, pps, sh)
+            writer.write_slice_data(w, list(range(st.n_mbs)))
+            w.rbsp_trailing_bits()
+        nal = NalUnit(1, 3, w.get_bytes())
+        self.recon_pics = (self.recon_pics + [(poc, planes, st, None)])[
+            -self.cfg.num_ref_frames:
+        ]
+        return [nal]
+
+    def _fill_p_state_rd(self, st, win, ref8, mv8x, mv8y, i16mode, cip,
+                         lev, dc, levc, dcc, ref_pocs):
+        """Decode-state fill for the RD pipeline interchange buffer."""
+        n_mb = st.n_mbs
+        n_my, n_mx = st.H, st.W
+        intra = win == RD.C_I16
+        st.ipredmode[:] = 2
+        st.is_intra[:] = intra
+        st.i16mode[:] = np.where(intra, i16mode, -1)
+        st.c_ipred_mode[:] = np.where(intra, cip, 0)
+        # mb types / partition modes
+        type_map = {RD.C_P16x16: M.P16x16, RD.C_P16x8: M.P16x8,
+                    RD.C_P8x16: M.P8x16, RD.C_P8x8: M.P8x8,
+                    RD.C_SKIP: M.P16x16, RD.C_I16: M.I16MB}
+        b8_map = {RD.C_P16x16: 1, RD.C_P16x8: 2, RD.C_P8x16: 3,
+                  RD.C_P8x8: M.B8_8x8, RD.C_SKIP: 1, RD.C_I16: 0}
+        st.mb_type[:] = np.vectorize(type_map.get)(win)
+        st.b8mode[:] = np.vectorize(b8_map.get)(win)[:, None]
+        st.b8pdir[:] = np.where(intra, -1, 0)[:, None]
+        # per-4x4 motion from per-8x8 winner motion
+        def to_pic4(a8):
+            p = (a8.reshape(n_my, n_mx, 2, 2).transpose(0, 2, 1, 3)
+                 .reshape(2 * n_my, 2 * n_mx))
+            return np.repeat(np.repeat(p, 2, 0), 2, 1)
+
+        mv4x, mv4y, ref4 = to_pic4(mv8x), to_pic4(mv8y), to_pic4(ref8)
+        intra4 = np.repeat(np.repeat(intra.reshape(n_my, n_mx), 4, 0), 4, 1)
+        st.mv[0, ..., 0] = np.where(intra4, 0, mv4x)
+        st.mv[0, ..., 1] = np.where(intra4, 0, mv4y)
+        st.ref_idx[0] = np.where(intra4, -1, ref4)
+        poc_of = np.asarray(ref_pocs, np.int64)
+        st.ref_pic_id[0] = np.where(
+            intra4, -(10 ** 9), poc_of[np.clip(ref4, 0, len(ref_pocs) - 1)]
+        )
+        # residual levels (device (br, bc) -> coded Z-order blocks)
+        zperm = np.empty(16, np.int64)
+        for br in range(4):
+            for bc in range(4):
+                zperm[int(M.XY_TO_BLK4[br, bc])] = br * 4 + bc
+        st.luma_levels[:] = lev.reshape(n_mb, 16, 4, 4)[:, zperm]
+        st.luma_dc[:] = np.where(intra[:, None, None], dc, 0)
+        st.chroma_levels[:] = levc.reshape(n_mb, 2, 4, 4, 4)
+        st.chroma_dc[:] = dcc
+        # cbp
+        nz4 = lev.any(axis=(3, 4))  # (n_mb, br, bc)
+        q8 = nz4.reshape(n_mb, 2, 2, 2, 2).any(axis=(2, 4))
+        cbp_inter = (q8[:, 0, 0] * 1 + q8[:, 0, 1] * 2 + q8[:, 1, 0] * 4
+                     + q8[:, 1, 1] * 8)
+        cbp_l = np.where(intra, np.where(nz4.any((1, 2)), 15, 0), cbp_inter)
+        has_ac = levc.any(axis=(2, 3, 4, 5)).any(axis=1)
+        has_dc = dcc.any(axis=(2, 3)).any(axis=1)
+        cbp_c = np.where(has_ac, 2, np.where(has_dc, 1, 0))
+        st.cbp[:] = cbp_l + 16 * cbp_c
+        weights = (1 << np.arange(16, dtype=np.int64)).reshape(4, 4)
+        cbp_blk = (nz4 * weights).sum(axis=(1, 2))
+        dc_any = dc.any(axis=(1, 2)) & intra
+        st.cbp_blk = (cbp_blk | dc_any).tolist()
+        # exact PMV/MVD + skip detection (raster; final neighbor state)
+        for addr in range(n_mb):
+            wv = int(win[addr])
+            if wv == RD.C_I16:
+                continue
+            x4, y4 = st.mb_block_origin(addr)
+            if wv in (RD.C_P16x16, RD.C_SKIP):
+                parts = [(0, 0, 4, 4, 0)]
+            elif wv == RD.C_P16x8:
+                parts = [(0, 0, 4, 2, 0), (0, 2, 4, 2, 2)]
+            elif wv == RD.C_P8x16:
+                parts = [(0, 0, 2, 4, 0), (2, 0, 2, 4, 1)]
+            else:
+                parts = [((b8 & 1) * 2, (b8 >> 1) * 2, 2, 2, b8)
+                         for b8 in range(4)]
+            if wv in (RD.C_P16x16, RD.C_SKIP) and int(st.cbp[addr]) == 0 \
+                    and int(st.ref_idx[0, y4, x4]) == 0:
+                mv = (int(st.mv[0, y4, x4, 0]), int(st.mv[0, y4, x4, 1]))
+                if tuple(_pskip_mv(st, addr)) == mv:
+                    st.skip_flag[addr] = 1
+                    st.mb_type[addr] = M.PSKIP
+                    st.b8mode[addr] = 0
+                    continue
+            for (bx, by, w4, h4, _b8) in parts:
+                ref = int(st.ref_idx[0, y4 + by, x4 + bx])
+                p = predict_mv(st, addr, 0, ref, bx, by, w4, h4)
+                mv = (int(st.mv[0, y4 + by, x4 + bx, 0]),
+                      int(st.mv[0, y4 + by, x4 + bx, 1]))
+                st.mvd[0, y4 + by : y4 + by + h4, x4 + bx : x4 + bx + w4] = (
+                    mv[0] - p[0], mv[1] - p[1]
+                )
+
     def _start_p_fast(self, yuv):
         """Dispatch the device step for a fast-path P frame.
 
         The next reference state chains on device (p_frame_pipeline fuses
         recon + deblock + qpel-plane prep), so this never blocks; the host
         outputs are fetched later by _finish_p_fast."""
+        if self.cfg.rd:
+            return self._start_p_rd(yuv)
         import jax.numpy as jnp
 
         cfg, sps, pps = self.cfg, self.sps, self.pps
@@ -421,6 +616,8 @@ class H264Encoder:
         buffer is fetched here."""
         import jax as _jax
 
+        if isinstance(pending[0], str):
+            return self._finish_p_rd(pending, fetched=fetched)
         host_out, recon, dev_ref, frame_num, poc, ref_poc, qp = pending
         cfg, sps, pps = self.cfg, self.sps, self.pps
         W, H = sps.pic_width_in_mbs, sps.frame_height_in_mbs

@@ -1,0 +1,1015 @@
+"""Device RD mode-decision P-frame pipeline.
+
+The TPU-native replacement for the reference's mode-decision engine
+(lencod/src/md_high.c:38 encode_one_macroblock_high, mode_decision.c:531,
+rdopt.c:1981 RDCost_for_macroblocks): instead of per-MB sequential trial
+encoding with entropy-state rollback, every candidate mode of every MB is
+evaluated in one batched device program with *true* distortion (residual
+transform/quant/reconstruction, exactly the decoder arithmetic) and a
+table-estimated rate, J = D_ssd + lambda * R_est (SURVEY.md §7.1: rate
+estimation replaces rdopt_coding_state.c).
+
+Per frame, on device:
+  1. per-8x8 integer SSD windows against every reference (the FastFull
+     strategy of me_fullfast.c:210 SetupLargerBlocks: small-block grids
+     composed into 16x16/16x8/8x16 partition grids)
+  2. approximate PMV field (median of neighbor best-16x16 MVs) for MV-rate
+  3. per-partition (ref, mv) argmin; quarter-pel refinement per partition
+     unit against the precomputed half-pel planes (img_luma.c:45 strategy)
+  4. candidate evaluation: P16x16 / P16x8 / P8x16 / P8x8 / SKIP / I16,
+     each with full transform/quant/recon distortion
+  5. winner commit; intra MBs reconstructed in a raster lax.scan with
+     decoder-exact neighbor semantics; full-strength deblocking
+     (bs 0..4 incl. the strong filter) on device
+
+Host tail: exact PMV/MVD + skip detection (decoder/mv.py), entropy coding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import interp as MC
+from ..ops import quant as Q
+from ..ops import transforms as TR
+from ..ops.deblock import ALPHA_TABLE, BETA_TABLE, CLIP_TAB
+
+PAD = MC.PAD
+
+# candidate mode indices (winner codes in the host interchange buffer)
+C_P16x16, C_P16x8, C_P8x16, C_P8x8, C_SKIP, C_I16 = 0, 1, 2, 3, 4, 5
+# B-pipeline winner codes (separate table; B candidate set)
+B_DIRECT, B_L0, B_L1, B_BI, B_I16, B_L0_16x8, B_L0_8x16 = 0, 1, 2, 3, 4, 5, 6
+
+# quarter-pel sample = avg of two plane-bank samples (G=0, b=1, h=2, j=3);
+# table[frac] = (plane0, oy0, ox0, plane1, oy1, ox1), frac = (mvy&3)*4+(mvx&3).
+# Derived from the normative two-stage interpolation (spec §8.4.2.2.1; the
+# precomputed-plane scheme of lencod/src/img_luma.c).
+_QTAB = np.zeros((16, 6), np.int32)
+for _dy in range(4):
+    for _dx in range(4):
+        f = _dy * 4 + _dx
+        if (_dx, _dy) == (0, 0):
+            e = (0, 0, 0, 0, 0, 0)
+        elif _dy == 0:
+            e = {1: (0, 0, 0, 1, 0, 0), 2: (1, 0, 0, 1, 0, 0),
+                 3: (1, 0, 0, 0, 0, 1)}[_dx]
+        elif _dx == 0:
+            e = {1: (0, 0, 0, 2, 0, 0), 2: (2, 0, 0, 2, 0, 0),
+                 3: (2, 0, 0, 0, 1, 0)}[_dy]
+        elif (_dx, _dy) == (2, 2):
+            e = (3, 0, 0, 3, 0, 0)
+        elif _dx == 2:
+            e = (1, 0, 0, 3, 0, 0) if _dy == 1 else (3, 0, 0, 1, 1, 0)
+        elif _dy == 2:
+            e = (2, 0, 0, 3, 0, 0) if _dx == 1 else (3, 0, 0, 2, 0, 1)
+        else:
+            e = (1, (0 if _dy == 1 else 1), 0, 2, 0, (0 if _dx == 1 else 1))
+        _QTAB[f] = e
+_QTAB_J = jnp.asarray(_QTAB)
+
+_REFINE = np.asarray(
+    [(dx, dy) for dy in range(-3, 4) for dx in range(-3, 4)], np.int32
+)
+
+
+# ---------------------------------------------------------------------------
+# reference resources
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def ref_entry_from_planes(Y, U, V):
+    """Build one reference entry from (unpadded) recon planes: the aligned
+    4-plane luma bank + padded chroma stack."""
+    Ypad = jnp.pad(Y.astype(jnp.int32), PAD, mode="edge")
+    bank = _bank_from_pad(Ypad)
+    cpad = jnp.stack([
+        jnp.pad(U.astype(jnp.int32), PAD, mode="edge"),
+        jnp.pad(V.astype(jnp.int32), PAD, mode="edge"),
+    ])
+    return bank, cpad
+
+
+def _bank_from_pad(Ypad):
+    """(4, Hp, Wp) bank [G, b, h, j], all indexed in G coordinates: the
+    half-pel planes are shifted so bank[k, y, x] is the half-pel sample
+    whose nearest full pel is (y, x).  int32 throughout: the 6-tap
+    intermediates stay below 2^20."""
+    P = Ypad.astype(jnp.int32)
+
+    def c6_h(A):
+        return (A[:, 0:-5] - 5 * A[:, 1:-4] + 20 * A[:, 2:-3]
+                + 20 * A[:, 3:-2] - 5 * A[:, 4:-1] + A[:, 5:])
+
+    def c6_v(A):
+        return (A[0:-5] - 5 * A[1:-4] + 20 * A[2:-3]
+                + 20 * A[3:-2] - 5 * A[4:-1] + A[5:])
+
+    b1 = c6_h(P)
+    h1 = c6_v(P)
+    j1 = c6_v(b1)
+    b = ((b1[2:-3, :] + 16) >> 5).clip(0, 255)
+    h = ((h1[:, 2:-3] + 16) >> 5).clip(0, 255)
+    j = ((j1 + 512) >> 10).clip(0, 255)
+    # b/h/j[y, x] correspond to full-pel (y+2, x+2): shift by +2 (pad 2/3)
+    b2 = jnp.pad(b, ((2, 3), (2, 3)))
+    h2 = jnp.pad(h, ((2, 3), (2, 3)))
+    j2 = jnp.pad(j, ((2, 3), (2, 3)))
+    return jnp.stack([Ypad.astype(jnp.int32), b2, h2, j2])
+
+
+# ---------------------------------------------------------------------------
+# generic sampling
+# ---------------------------------------------------------------------------
+
+def _mc_luma_unit(banks, r, mvx, mvy, y0, x0, h: int, w: int):
+    """Quarter-pel MC of one (h, w) unit at picture pos (y0, x0) from
+    reference r of the stacked banks (NR, 4, Hp, Wp)."""
+    iy = y0 + (mvy >> 2) + PAD
+    ix = x0 + (mvx >> 2) + PAD
+    f = (mvy & 3) * 4 + (mvx & 3)
+    t = _QTAB_J[f]
+    a = jax.lax.dynamic_slice(
+        banks, (r, t[0], iy + t[1], ix + t[2]), (1, 1, h, w))[0, 0]
+    b = jax.lax.dynamic_slice(
+        banks, (r, t[3], iy + t[4], ix + t[5]), (1, 1, h, w))[0, 0]
+    return (a + b + 1) >> 1
+
+
+def _mc_chroma_unit(cpads, r, mvx, mvy, yc, xc, h: int, w: int):
+    """1/8-pel bilinear chroma MC of one (h, w) chroma unit for both
+    planes; cpads: (NR, 2, Hcp, Wcp)."""
+    yi = yc + (mvy >> 3) + PAD
+    xi = xc + (mvx >> 3) + PAD
+    fx = mvx & 7
+    fy = mvy & 7
+    A = jax.lax.dynamic_slice(cpads, (r, 0, yi, xi), (1, 2, h + 1, w + 1))[0]
+    return ((8 - fx) * (8 - fy) * A[:, :h, :w]
+            + fx * (8 - fy) * A[:, :h, 1:]
+            + (8 - fx) * fy * A[:, 1:, :w]
+            + fx * fy * A[:, 1:, 1:] + 32) >> 6
+
+
+def _bitlen(a):
+    """floor(log2(a))+1 for a >= 1 (int32, values < 2^20: f32-exact)."""
+    return jnp.floor(jnp.log2(a.astype(jnp.float32))).astype(jnp.int32) + 1
+
+
+def _mv_bits(d):
+    """se(v) code length of d."""
+    k = 2 * jnp.abs(d) - (d > 0)
+    return 2 * _bitlen(k + 1) - 1
+
+
+def _coef_bits(lev):
+    """Approximate CAVLC bits for one (..., 4, 4) block of levels."""
+    a = jnp.abs(lev)
+    nz = (a > 0)
+    lb = jnp.where(nz, 2 * _bitlen(jnp.maximum(a, 1)) + 1, 0).sum((-1, -2))
+    n = nz.sum((-1, -2))
+    return jnp.where(n > 0, lb + n + 2, 0)
+
+
+def _med3(a, b, c):
+    return a + b + c - jnp.minimum(a, jnp.minimum(b, c)) - jnp.maximum(
+        a, jnp.maximum(b, c))
+
+
+# ---------------------------------------------------------------------------
+# the P pipeline
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "H", "W", "R", "qp", "qp_c", "lam", "lam_me", "stage"))
+def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
+                  H: int, W: int, R: int, qp: int, qp_c: int,
+                  lam: int, lam_me: int, stage: int = 9):
+    """Whole-frame RD P encode. banks: (NR, 4, Hp, Wp); cpads:
+    (NR, 2, Hcp, Wcp).  lam/lam_me: lambda_mode / lambda_me << 16.
+
+    Returns (host_out flat int32, recon (Y, U, V), next ref entry)."""
+    cur_y = cur_y8.astype(jnp.int32)
+    cur_u = cur_u8.astype(jnp.int32)
+    cur_v = cur_v8.astype(jnp.int32)
+    NR = banks.shape[0]
+    n_my, n_mx = H // 16, W // 16
+    n_mb = n_my * n_mx
+    D = 2 * R + 1
+
+    # ---- 1. per-8x8 SSD windows per reference --------------------------
+    nby, nbx = H // 8, W // 8
+    n_b8 = nby * nbx
+    cur8 = (cur_y.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+            .reshape(n_b8, 8, 8))
+    cur2 = (cur8 * cur8).sum((-1, -2))  # (n_b8,)
+    b8_ys = (jnp.arange(n_b8) // nbx) * 8
+    b8_xs = (jnp.arange(n_b8) % nbx) * 8
+    Wn = 2 * R + 8
+
+    def block_ssd(ref_pad, bi):
+        y0, x0 = b8_ys[bi], b8_xs[bi]
+        win = jax.lax.dynamic_slice(
+            ref_pad, (y0 - R + PAD, x0 - R + PAD), (Wn, Wn))
+        # cross-correlation: 64 shifted multiply-adds (local, exact int32)
+        cross = jnp.zeros((D, D), jnp.int32)
+        cb = cur8[bi]
+        for i in range(8):
+            for j in range(8):
+                cross = cross + cb[i, j] * jax.lax.dynamic_slice(
+                    win, (i, j), (D, D))
+        w2 = win * win
+        vc = jnp.cumsum(jnp.pad(w2, ((1, 0), (0, 0))), axis=0)
+        vbox = vc[8:] - vc[:-8]
+        hc = jnp.cumsum(jnp.pad(vbox, ((0, 0), (1, 0))), axis=1)
+        r2 = hc[:, 8:] - hc[:, :-8]
+        return r2 - 2 * cross + cur2[bi]
+
+    ssd8 = jax.vmap(
+        lambda r: jax.vmap(lambda b: block_ssd(banks[r, 0], b))(
+            jnp.arange(n_b8))
+    )(jnp.arange(NR))  # (NR, n_b8, D, D)
+    ssd8 = ssd8.reshape(NR, n_my, 2, n_mx, 2, D, D)
+    if stage == 1:
+        return ssd8.sum(), None, None
+
+    # ---- 2. compose partition grids ------------------------------------
+    ssd16 = ssd8.sum((2, 4))                      # (NR, n_my, n_mx, D, D)
+    s16x8 = ssd8.sum(4).transpose(0, 1, 3, 2, 4, 5)   # (NR,my,mx,2(top/bot),D,D)
+    s8x16 = ssd8.sum(2)                                # (NR,my,mx,2(l/r),D,D)
+
+    # ---- 3. approximate PMV field --------------------------------------
+    dgrid = jnp.arange(-R, R + 1) * 4
+    zb = _mv_bits(dgrid)[None, :] + _mv_bits(dgrid)[:, None]  # (D, D)
+    c0 = ssd16[0] + ((lam_me * zb) >> 16)
+    bi0 = jnp.argmin(c0.reshape(n_my, n_mx, -1), axis=-1)
+    pm_x = (bi0 % D - R) * 4
+    pm_y = (bi0 // D - R) * 4
+
+    def med_neighbors(f):
+        a = jnp.pad(f, ((0, 0), (1, 0)))[:, :-1]          # left
+        b = jnp.pad(f, ((1, 0), (0, 0)))[:-1, :]          # up
+        c = jnp.pad(f, ((1, 0), (0, 1)))[:-1, 1:]         # up-right
+        return _med3(a, b, c)
+
+    pmvx = med_neighbors(pm_x)
+    pmvy = med_neighbors(pm_y)
+
+    # MV-rate around the PMV: (n_my, n_mx, D, D)
+    bits_x = _mv_bits(dgrid[None, None, :] - pmvx[..., None])
+    bits_y = _mv_bits(dgrid[None, None, :] - pmvy[..., None])
+    mvbits = bits_x[:, :, None, :] + bits_y[:, :, :, None]
+    # reference-index rate (te(v) length against NR refs)
+    rbits = np.array([1 if r == 0 else 2 * int(r + 1).bit_length() - 1
+                      for r in range(NR)], np.int32)
+    if NR == 1:
+        rbits[:] = 0
+    rbits = jnp.asarray(rbits)
+
+    def part_argmin(grids):
+        """grids: (NR, n_my, n_mx, D, D) -> (ref, imvx, imvy) per MB."""
+        cost = grids + ((lam_me * mvbits) >> 16)[None]
+        cost = cost + ((lam_me * rbits) >> 16)[:, None, None, None, None]
+        flat = cost.reshape(NR, n_my, n_mx, -1)
+        per_ref = jnp.min(flat, axis=-1)
+        per_ref_i = jnp.argmin(flat, axis=-1)
+        ref = jnp.argmin(per_ref, axis=0)
+        idx = jnp.take_along_axis(per_ref_i, ref[None], axis=0)[0]
+        return (ref.astype(jnp.int32),
+                (idx % D - R).astype(jnp.int32),
+                (idx // D - R).astype(jnp.int32))
+
+    r16, x16, y16 = part_argmin(ssd16)
+    r168 = []
+    for half in range(2):
+        r168.append(part_argmin(s16x8[:, :, :, half]))
+    r816 = []
+    for half in range(2):
+        r816.append(part_argmin(s8x16[:, :, :, half]))
+    r88 = []
+    for b8 in range(4):
+        by, bx = b8 >> 1, b8 & 1
+        r88.append(part_argmin(ssd8[:, :, by, :, bx]))
+    if stage == 2:
+        return sum(u.sum() for t in ([r16, x16, y16],) for u in t), None, None
+
+    # ---- 4. quarter-pel refinement per partition unit ------------------
+    mb_ys = (jnp.arange(n_mb) // n_mx) * 16
+    mb_xs = (jnp.arange(n_mb) % n_mx) * 16
+    pmvx_f = pmvx.reshape(-1)
+    pmvy_f = pmvy.reshape(-1)
+    offs = jnp.asarray(_REFINE)
+
+    def refine_unit(ref, imvx, imvy, y0, x0, px, py, h: int, w: int):
+        """49-point quarter-pel refine around (imvx, imvy) with ONE window
+        gather: every offset's fraction (and therefore plane pair) is
+        static, so all samples are static slices of the (4, h+3, w+3)
+        window."""
+        orig = jax.lax.dynamic_slice(cur_y, (y0, x0), (h, w))
+        iy = y0 + imvy + PAD - 1
+        ix = x0 + imvx + PAD - 1
+        wins = jax.lax.dynamic_slice(
+            banks, (ref, 0, iy, ix), (1, 4, h + 3, w + 3))[0]
+        base_x = imvx * 4
+        base_y = imvy * 4
+        preds = []
+        costs = []
+        for (ox, oy) in _REFINE:
+            dx, dy = int(ox) & 3, int(oy) & 3
+            sx, sy = (int(ox) >> 2) + 1, (int(oy) >> 2) + 1
+            t = _QTAB[dy * 4 + dx]
+            a = wins[t[0], sy + t[1]: sy + t[1] + h, sx + t[2]: sx + t[2] + w]
+            b = wins[t[3], sy + t[4]: sy + t[4] + h, sx + t[5]: sx + t[5] + w]
+            pred = (a + b + 1) >> 1
+            d = orig - pred
+            ssd = (d * d).sum()
+            rate = _mv_bits(base_x + ox - px) + _mv_bits(base_y + oy - py)
+            preds.append(pred)
+            costs.append(ssd + ((lam_me * rate) >> 16))
+        costs = jnp.stack(costs)
+        preds = jnp.stack(preds)
+        k = jnp.argmin(costs)
+        return base_x + offs[k, 0], base_y + offs[k, 1], preds[k]
+
+    def refine_parts(res, oy, ox, h, w):
+        ref, ix, iy = res
+        f = jax.vmap(lambda i: refine_unit(
+            ref.reshape(-1)[i], ix.reshape(-1)[i], iy.reshape(-1)[i],
+            mb_ys[i] + oy, mb_xs[i] + ox, pmvx_f[i], pmvy_f[i], h, w))
+        mvx, mvy, pred = f(jnp.arange(n_mb))
+        return ref.reshape(-1), mvx, mvy, pred
+
+    q16 = refine_parts((r16, x16, y16), 0, 0, 16, 16)
+    q168 = [refine_parts(r168[hf], 8 * hf, 0, 8, 16) for hf in range(2)]
+    q816 = [refine_parts(r816[hf], 0, 8 * hf, 16, 8) for hf in range(2)]
+    q88 = [refine_parts(r88[b8], 8 * (b8 >> 1), 8 * (b8 & 1), 8, 8)
+           for b8 in range(4)]
+    if stage == 3:
+        return (sum(u.sum() for t in [q16] + q168 + q816 + q88 for u in t),
+                None, None)
+
+    # ---- skip MV field (spec §8.4.1.1 on the refined 16x16 field) ------
+    mvx16 = q16[1].reshape(n_my, n_mx)
+    mvy16 = q16[2].reshape(n_my, n_mx)
+    ref16g = q16[0].reshape(n_my, n_mx)
+
+    def shifted(f, dy, dx, fill):
+        g = jnp.pad(f, ((max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))),
+                    constant_values=fill)
+        return g[max(-dy, 0):g.shape[0] - max(dy, 0),
+                 max(-dx, 0):g.shape[1] - max(dx, 0)]
+
+    def nb(dy, dx):
+        ax = shifted(mvx16, -dy, -dx, 0)
+        ay = shifted(mvy16, -dy, -dx, 0)
+        ar = shifted(ref16g, -dy, -dx, -1)
+        return ax, ay, ar
+
+    # availability masks
+    col = jnp.arange(n_mx)[None, :].repeat(n_my, 0)
+    row = jnp.arange(n_my)[:, None].repeat(n_mx, 1)
+    avA = col > 0
+    avB = row > 0
+    avC = (row > 0) & (col < n_mx - 1)
+    avD = (row > 0) & (col > 0)
+    ax_, ay_, ar_ = nb(0, -1)
+    bx_, by_, br_ = nb(-1, 0)
+    cx_, cy_, cr_ = nb(-1, 1)
+    dx_, dy_, dr_ = nb(-1, -1)
+    # C falls back to D when unavailable
+    cx_ = jnp.where(avC, cx_, dx_)
+    cy_ = jnp.where(avC, cy_, dy_)
+    cr_ = jnp.where(avC, cr_, jnp.where(avD, dr_, -1))
+    avC = avC | avD
+    # median PMV against ref 0 (matching-ref shortcut)
+    mA = avA & (ar_ == 0)
+    mB = avB & (br_ == 0)
+    mC = avC & (cr_ == 0)
+    nm = mA.astype(jnp.int32) + mB + mC
+    medx = _med3(jnp.where(avA, ax_, 0), jnp.where(avB, bx_, 0),
+                 jnp.where(avC, cx_, 0))
+    medy = _med3(jnp.where(avA, ay_, 0), jnp.where(avB, by_, 0),
+                 jnp.where(avC, cy_, 0))
+    onlyx = jnp.where(mA, ax_, jnp.where(mB, bx_, cx_))
+    onlyy = jnp.where(mA, ay_, jnp.where(mB, by_, cy_))
+    onlyA = (~avB) & (~avC) & avA
+    pskx = jnp.where(nm == 1, onlyx, jnp.where(onlyA, ax_, medx))
+    psky = jnp.where(nm == 1, onlyy, jnp.where(onlyA, ay_, medy))
+    zero_cond = ((~avA) | (~avB)
+                 | (mA & (ax_ == 0) & (ay_ == 0))
+                 | (mB & (bx_ == 0) & (by_ == 0)))
+    pskx = jnp.where(zero_cond, 0, pskx).reshape(-1)
+    psky = jnp.where(zero_cond, 0, psky).reshape(-1)
+
+    # ---- 5. candidate evaluation ----------------------------------------
+    # per-8x8 motion per candidate: mv8 (NC, n_mb, 4, 2), ref8 (NC, n_mb, 4)
+    def stack4(units):
+        """units: list of 4 (ref, mvx, mvy) in b8 order."""
+        ref = jnp.stack([u[0] for u in units], 1)
+        mvx = jnp.stack([u[1] for u in units], 1)
+        mvy = jnp.stack([u[2] for u in units], 1)
+        return ref, mvx, mvy
+
+    cands = [
+        stack4([q16] * 4),
+        stack4([q168[0], q168[0], q168[1], q168[1]]),
+        stack4([q816[0], q816[1], q816[0], q816[1]]),
+        stack4(q88),
+        (jnp.zeros((n_mb, 4), jnp.int32),
+         jnp.repeat(pskx[:, None], 4, 1), jnp.repeat(psky[:, None], 4, 1)),
+    ]
+    NC_INTER = len(cands)
+    ref8 = jnp.stack([c[0] for c in cands])
+    mv8x = jnp.stack([c[1] for c in cands])
+    mv8y = jnp.stack([c[2] for c in cands])
+
+    b8oy = (0, 0, 8, 8)
+    b8ox = (0, 8, 0, 8)
+
+    # candidate luma predictions assembled from the refine-stage preds
+    # (no further gathers); the skip candidate needs one dynamic-fraction
+    # MC per MB (window gather + 16 static fraction variants + select).
+    def skip_pred(i):
+        mvx, mvy = pskx[i], psky[i]
+        iy = mb_ys[i] + (mvy >> 2) + PAD
+        ix = mb_xs[i] + (mvx >> 2) + PAD
+        wins = jax.lax.dynamic_slice(banks, (jnp.int32(0), 0, iy, ix),
+                                     (1, 4, 18, 18))[0]
+        f = (mvy & 3) * 4 + (mvx & 3)
+        variants = []
+        for frac in range(16):
+            t = _QTAB[frac]
+            a = wins[t[0], t[1]: t[1] + 16, t[2]: t[2] + 16]
+            b = wins[t[3], t[4]: t[4] + 16, t[5]: t[5] + 16]
+            variants.append((a + b + 1) >> 1)
+        return jnp.stack(variants)[f]
+
+    pred_sk = jax.vmap(skip_pred)(jnp.arange(n_mb))
+    preds = jnp.stack([
+        q16[3],
+        jnp.concatenate([q168[0][3], q168[1][3]], axis=1),
+        jnp.concatenate([q816[0][3], q816[1][3]], axis=2),
+        jnp.concatenate([
+            jnp.concatenate([q88[0][3], q88[1][3]], axis=2),
+            jnp.concatenate([q88[2][3], q88[3][3]], axis=2)], axis=1),
+        pred_sk,
+    ])  # (NC, n_mb, 16, 16)
+
+    orig_mb = (cur_y.reshape(n_my, 16, n_mx, 16).transpose(0, 2, 1, 3)
+               .reshape(n_mb, 16, 16))
+
+    off_inter = jnp.int32(Q.default_offset4(qp, False))
+
+    def tq_recon(pred, orig):
+        """4x4 T/Q/IQ/IT recon vs pred; returns (levels(4,4,4,4), recon, D,
+        coefbits).  Leading batch dims allowed."""
+        res = orig - pred
+        blk = res.reshape(*res.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
+        co = TR.forward4x4(blk)
+        lev = Q.quant4x4(co, qp, off_inter)
+        deq = Q.dequant4x4(lev, qp)
+        rr = TR.inverse4x4(deq.astype(jnp.int32)).astype(jnp.int32)
+        pb = pred.reshape(*pred.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
+        rec_b = ((rr + (pb << 6) + 32) >> 6).clip(0, 255)
+        rec = rec_b.swapaxes(-3, -2).reshape(*pred.shape)
+        d = orig - rec
+        D_ = (d * d).sum((-1, -2))
+        cb = _coef_bits(lev).sum((-1, -2))
+        return lev, rec, D_, cb
+
+    lev_i, rec_i, D_i, cb_i = tq_recon(preds, orig_mb[None])
+    # skip candidate: zero residual
+    skip_rec = preds[4].clip(0, 255)
+    dsk = orig_mb - skip_rec
+    D_skip = (dsk * dsk).sum((-1, -2))
+
+    # header+motion rate per candidate
+    mvb = (_mv_bits(mv8x - pmvx_f[None, :, None])
+           + _mv_bits(mv8y - pmvy_f[None, :, None]))  # (NC, n_mb, 4)
+    refb = rbits[ref8]
+    hdr = jnp.asarray([1, 3, 3, 9, 0], jnp.int32)
+    nuniq = jnp.asarray([1, 2, 2, 4, 0], jnp.int32)  # transmitted units
+    # per-cand motion bits: 16x16 uses b8 0; 16x8 b8 {0,2}; 8x16 {0,1}
+    sel = jnp.asarray([
+        [1, 0, 0, 0], [1, 0, 1, 0], [1, 1, 0, 0], [1, 1, 1, 1],
+        [0, 0, 0, 0]], jnp.int32)
+    R_inter = hdr[:, None] + ((mvb + refb) * sel[:, None, :]).sum(-1)
+    R_inter = R_inter + cb_i
+    J_inter = D_i + ((lam * R_inter) >> 16)
+    J_skip = D_skip  # rate ~ 0
+    J_inter = J_inter.at[4].set(J_skip)
+
+    # ---- I16 candidate (orig-neighbor approximation for the decision) --
+    up_rows = jnp.pad(cur_y, ((1, 0), (0, 0)))[:-1]  # row above each pixel
+    up_mb = (up_rows[::16][:n_my]
+             .reshape(n_my, 1, W)[:, 0].reshape(n_my, n_mx, 16))
+    left_cols = jnp.pad(cur_y, ((0, 0), (1, 0)))[:, :-1]
+    left_mb = (left_cols[:, ::16][:, :n_mx].reshape(n_my, 16, n_mx)
+               .transpose(0, 2, 1))
+    ul = jnp.pad(cur_y, ((1, 0), (1, 0)))[:-1, :-1][::16, ::16]
+    au = (row > 0).reshape(-1)
+    al = (col > 0).reshape(-1)
+    upv = up_mb.reshape(n_mb, 16)
+    lfv = left_mb.reshape(n_mb, 16)
+    ulv = ul.reshape(n_mb)
+    i16p, i16m, i16rb = _i16_pred_all(upv, lfv, ulv, au, al, orig_mb)
+    lev16, dc16, rec16, D_16, cb16 = _i16_tq(i16p, orig_mb, qp)
+    J_i16 = D_16 + ((lam * (cb16 + 8)) >> 16)
+
+    J_all = jnp.concatenate([J_inter, J_i16[None]], 0)  # (6, n_mb)
+    win = jnp.argmin(J_all, axis=0).astype(jnp.int32)
+    if stage == 4:
+        return win.sum() + rec16.sum(), None, None
+
+    # ---- winner gather ---------------------------------------------------
+    take = lambda arr, w: jnp.take_along_axis(
+        arr, w.reshape((1, n_mb) + (1,) * (arr.ndim - 2)), axis=0)[0]
+    is_intra = win == C_I16
+    win_i = jnp.minimum(win, NC_INTER - 1)
+    w_lev = take(lev_i, win_i)
+    w_lev = jnp.where(win[:, None, None, None, None] == C_SKIP, 0, w_lev)
+    w_rec = take(rec_i, win_i)
+    w_rec = jnp.where(win[:, None, None] == C_SKIP, skip_rec, w_rec)
+    w_pred = take(preds, win_i)
+    w_ref8 = take(ref8, win_i)
+    w_mv8x = take(mv8x, win_i)
+    w_mv8y = take(mv8y, win_i)
+
+    # ---- chroma for inter winners ---------------------------------------
+    Hc, Wc = H // 2, W // 2
+
+    def chroma_pred_mb(i):
+        blocks = []
+        for b8 in range(4):
+            blocks.append(_mc_chroma_unit(
+                cpads, w_ref8[i, b8], w_mv8x[i, b8], w_mv8y[i, b8],
+                (mb_ys[i] >> 1) + (b8oy[b8] >> 1),
+                (mb_xs[i] >> 1) + (b8ox[b8] >> 1), 4, 4))
+        top = jnp.concatenate(blocks[:2], axis=2)
+        bot = jnp.concatenate(blocks[2:], axis=2)
+        return jnp.concatenate([top, bot], axis=1)  # (2, 8, 8)
+
+    pred_c_mb = jax.vmap(chroma_pred_mb)(jnp.arange(n_mb))  # (n_mb, 2, 8, 8)
+    orig_c = jnp.stack([cur_u, cur_v]).reshape(
+        2, n_my, 8, n_mx, 8).transpose(1, 3, 0, 2, 4).reshape(n_mb, 2, 8, 8)
+    levc, dcc, recc, _ = _chroma_tq(pred_c_mb, orig_c, qp_c, intra=False)
+    # skip winners carry no chroma residual either
+    skipm = (win == C_SKIP)
+    levc = jnp.where(skipm[:, None, None, None, None, None], 0, levc)
+    dcc = jnp.where(skipm[:, None, None, None], 0, dcc)
+    recc = jnp.where(skipm[:, None, None, None],
+                     pred_c_mb.clip(0, 255), recc)
+    if stage == 5:
+        return recc.sum() + w_rec.sum(), None, None
+
+    # ---- intra commit scan (raster; decoder-exact neighbors) ------------
+    (rec_y, rec_u, rec_v, w_lev, lum_dc, i16mode, cip,
+     levc, dcc) = _intra_commit_scan(
+        cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
+        levc, dcc, H, W, qp, qp_c)
+
+    if stage == 6:
+        return rec_y.sum() + rec_u.sum() + rec_v.sum(), None, None
+    # ---- deblocking ------------------------------------------------------
+    nz4 = (w_lev != 0).any((-1, -2))  # (n_mb, 4, 4) [br][bc]
+    nz4 = nz4 | (is_intra[:, None, None] & (lum_dc != 0).any(
+        (-1, -2))[:, None, None])
+    nz4_pic = (nz4.reshape(n_my, n_mx, 4, 4).transpose(0, 2, 1, 3)
+               .reshape(4 * n_my, 4 * n_mx))
+    mvx4 = jnp.repeat(jnp.repeat(
+        w_mv8x.reshape(n_my, n_mx, 2, 2).transpose(0, 2, 1, 3)
+        .reshape(2 * n_my, 2 * n_mx), 2, 0), 2, 1)
+    mvy4 = jnp.repeat(jnp.repeat(
+        w_mv8y.reshape(n_my, n_mx, 2, 2).transpose(0, 2, 1, 3)
+        .reshape(2 * n_my, 2 * n_mx), 2, 0), 2, 1)
+    ref4 = jnp.repeat(jnp.repeat(
+        w_ref8.reshape(n_my, n_mx, 2, 2).transpose(0, 2, 1, 3)
+        .reshape(2 * n_my, 2 * n_mx), 2, 0), 2, 1)
+    intra4 = jnp.repeat(jnp.repeat(
+        is_intra.reshape(n_my, n_mx), 4, 0), 4, 1)
+    BSV, BSH = strengths_full(nz4_pic, mvx4, mvy4, ref4, intra4)
+    dy_, du_, dv_ = deblock_device_full(
+        rec_y, rec_u, rec_v, BSV, BSH, qp, qp_c)
+    if stage == 7:
+        return dy_.sum() + du_.sum() + dv_.sum(), None, None
+
+    # ---- next reference entry -------------------------------------------
+    Ypad = jnp.pad(dy_, PAD, mode="edge")
+    new_bank = _bank_from_pad(Ypad)
+    new_cpad = jnp.stack([
+        jnp.pad(du_, PAD, mode="edge"), jnp.pad(dv_, PAD, mode="edge")])
+
+    host_out = jnp.concatenate([
+        win.reshape(-1), w_ref8.reshape(-1),
+        w_mv8x.reshape(-1), w_mv8y.reshape(-1),
+        i16mode.reshape(-1), cip.reshape(-1),
+        w_lev.reshape(-1), lum_dc.reshape(-1),
+        levc.reshape(-1), dcc.reshape(-1),
+    ])
+    return host_out, (dy_, du_, dv_), (new_bank, new_cpad)
+
+
+# ---------------------------------------------------------------------------
+# I16 helpers (batched + per-MB)
+# ---------------------------------------------------------------------------
+
+def _i16_pred_all(up, left, ul, au, al, orig):
+    """All-mode I16 prediction + SAD mode pick.  up/left: (n, 16), ul: (n,),
+    au/al: (n,) bool, orig: (n, 16, 16).  Returns (pred, mode, ratebits)."""
+    n = up.shape[0]
+    BIG = jnp.int32(1 << 29)
+    vert = jnp.broadcast_to(up[:, None, :], (n, 16, 16))
+    hor = jnp.broadcast_to(left[:, :, None], (n, 16, 16))
+    s_up = up.sum(-1)
+    s_l = left.sum(-1)
+    dc = jnp.where(
+        au & al, (s_up + s_l + 16) >> 5,
+        jnp.where(au, (s_up + 8) >> 4,
+                  jnp.where(al, (s_l + 8) >> 4, 128)))
+    dcp = jnp.broadcast_to(dc[:, None, None], (n, 16, 16))
+    # plane mode (spec §8.3.3.4)
+    i = jnp.arange(8)
+    upb = jnp.where((6 - i)[None, :] >= 0,
+                    jnp.take_along_axis(
+                        up, jnp.maximum(6 - i, 0)[None, :].repeat(n, 0), 1),
+                    ul[:, None])
+    Hg = ((i + 1)[None, :] * (up[:, 8:] - upb)).sum(-1)
+    lfb = jnp.where((6 - i)[None, :] >= 0,
+                    jnp.take_along_axis(
+                        left, jnp.maximum(6 - i, 0)[None, :].repeat(n, 0), 1),
+                    ul[:, None])
+    Vg = ((i + 1)[None, :] * (left[:, 8:] - lfb)).sum(-1)
+    a = 16 * (left[:, 15] + up[:, 15])
+    b = (5 * Hg + 32) >> 6
+    c = (5 * Vg + 32) >> 6
+    xs = jnp.arange(16) - 7
+    pl = (a[:, None, None] + b[:, None, None] * xs[None, None, :]
+          + c[:, None, None] * xs[None, :, None] + 16) >> 5
+    plane = pl.clip(0, 255)
+    preds = jnp.stack([vert, hor, dcp, plane], 1)  # (n, 4, 16, 16)
+    sad = jnp.abs(orig[:, None] - preds).sum((-1, -2))
+    valid = jnp.stack([au, al, jnp.ones_like(au), au & al], 1)
+    sad = jnp.where(valid, sad, BIG)
+    mode = jnp.argmin(sad, 1).astype(jnp.int32)
+    pred = jnp.take_along_axis(
+        preds, mode[:, None, None, None], axis=1)[:, 0]
+    return pred, mode, None
+
+
+def _i16_tq(pred, orig, qp: int):
+    """I16 transform path: DC hadamard + AC quant (JM dct_16x16,
+    lencod/src/block.c:564).  pred/orig: (..., 16, 16)."""
+    res = orig - pred
+    blk = res.reshape(*res.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
+    co = TR.forward4x4(blk)
+    dc = co[..., 0, 0]
+    dch = TR.hadamard4x4(dc) >> 1
+    dc_lev = Q.quant_luma_dc(dch, qp, intra=True)
+    off = jnp.int32(Q.default_offset4(qp, True))
+    lev = Q.quant4x4(co, qp, off)
+    lev = lev.at[..., 0, 0].set(0)
+    # recon
+    dc_deq = Q.dequant_luma_dc(
+        TR.hadamard4x4(dc_lev.astype(jnp.int32)), qp)
+    deq = Q.dequant4x4(lev, qp).astype(jnp.int32)
+    deq = deq.at[..., 0, 0].set(dc_deq)
+    rr = TR.inverse4x4(deq).astype(jnp.int32)
+    pb = pred.reshape(*pred.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
+    rec_b = ((rr + (pb << 6) + 32) >> 6).clip(0, 255)
+    rec = rec_b.swapaxes(-3, -2).reshape(*pred.shape)
+    d = orig - rec
+    D_ = (d * d).sum((-1, -2))
+    cb = _coef_bits(lev).sum((-1, -2)) + _coef_bits(
+        dc_lev[..., None, :, :])[..., 0]
+    return lev, dc_lev, rec, D_, cb
+
+
+def _chroma_tq(pred, orig, qp_c: int, intra: bool):
+    """Chroma residual path per MB: pred/orig (n, 2, 8, 8).
+    Returns levels (n, 2, 2, 2, 4, 4), dc (n, 2, 2, 2), recon (n, 2, 8, 8)."""
+    res = orig - pred
+    blk = res.reshape(*res.shape[:-2], 2, 4, 2, 4).swapaxes(-3, -2)
+    co = TR.forward4x4(blk)
+    dc = co[..., 0, 0]
+    dch = TR.hadamard2x2(dc)
+    dc_lev = Q.quant_chroma_dc(dch, qp_c, intra)
+    off = jnp.int32(Q.default_offset4(qp_c, intra))
+    lev = Q.quant4x4(co, qp_c, off)
+    lev = lev.at[..., 0, 0].set(0)
+    deq = Q.dequant4x4(lev, qp_c).astype(jnp.int32)
+    dc_deq = Q.dequant_chroma_dc(TR.hadamard2x2(dc_lev.astype(jnp.int32)),
+                                 qp_c)
+    deq = deq.at[..., 0, 0].set(dc_deq)
+    rr = TR.inverse4x4(deq).astype(jnp.int32)
+    pb = pred.reshape(*pred.shape[:-2], 2, 4, 2, 4).swapaxes(-3, -2)
+    rec_b = ((rr + (pb << 6) + 32) >> 6).clip(0, 255)
+    rec = rec_b.swapaxes(-3, -2).reshape(*pred.shape)
+    return lev, dc_lev, rec, None
+
+
+def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
+                       levc, dcc, H: int, W: int, qp: int, qp_c: int):
+    """Raster commit: assemble the recon planes; intra MBs are re-decided
+    and reconstructed against final neighbor recon (decoder semantics)."""
+    n_my, n_mx = H // 16, W // 16
+    n_mb = n_my * n_mx
+    Hc, Wc = H // 2, W // 2
+    lum_dc = jnp.zeros((n_mb, 4, 4), jnp.int32)
+    i16mode = jnp.zeros((n_mb,), jnp.int32)
+    cip = jnp.zeros((n_mb,), jnp.int32)
+    # 1-pel border for neighbor reads
+    Yp = jnp.pad(cur_y * 0, ((1, 0), (1, 0)))
+    Up = jnp.zeros((Hc + 1, Wc + 1), jnp.int32)
+    Vp = jnp.zeros((Hc + 1, Wc + 1), jnp.int32)
+
+    orig_mb = (cur_y.reshape(n_my, 16, n_mx, 16).transpose(0, 2, 1, 3)
+               .reshape(n_mb, 16, 16))
+    orig_c = jnp.stack([cur_u, cur_v]).reshape(
+        2, n_my, 8, n_mx, 8).transpose(1, 3, 0, 2, 4).reshape(n_mb, 2, 8, 8)
+
+    def body(carry, i):
+        Yp, Up, Vp, w_lev, levc, dcc, lum_dc, i16mode, cip = carry
+        r = i // n_mx
+        c = i % n_mx
+        y0, x0 = 16 * r, 16 * c
+        yc, xc = 8 * r, 8 * c
+        au = r > 0
+        al = c > 0
+
+        def intra_case(_):
+            up = jax.lax.dynamic_slice(Yp, (y0, x0 + 1), (1, 16))[0]
+            left = jax.lax.dynamic_slice(Yp, (y0 + 1, x0), (16, 1))[:, 0]
+            ul = Yp[y0, x0]
+            pred, mode, _ = _i16_pred_all(
+                up[None], left[None], ul[None], au[None], al[None],
+                orig_mb[i][None])
+            lev, dclev, rec, _, _ = _i16_tq(pred[0], orig_mb[i], qp)
+            # chroma: 4 modes vs recon neighbors
+            upc = jnp.stack([
+                jax.lax.dynamic_slice(Up, (yc, xc + 1), (1, 8))[0],
+                jax.lax.dynamic_slice(Vp, (yc, xc + 1), (1, 8))[0]])
+            lfc = jnp.stack([
+                jax.lax.dynamic_slice(Up, (yc + 1, xc), (8, 1))[:, 0],
+                jax.lax.dynamic_slice(Vp, (yc + 1, xc), (8, 1))[:, 0]])
+            ulc = jnp.stack([Up[yc, xc], Vp[yc, xc]])
+            cpreds = _chroma_pred4(upc, lfc, ulc, au, al)  # (4, 2, 8, 8)
+            csad = jnp.abs(orig_c[i][None] - cpreds).sum((-1, -2, -3))
+            cvalid = jnp.stack([
+                jnp.asarray(True), al, au, au & al])
+            csad = jnp.where(cvalid, csad, 1 << 29)
+            cmode = jnp.argmin(csad).astype(jnp.int32)
+            cpred = cpreds[cmode]
+            clev, cdc, crec, _ = _chroma_tq(
+                cpred[None], orig_c[i][None], qp_c, intra=True)
+            return (rec, crec[0], lev, dclev, mode[0], cmode,
+                    clev[0], cdc[0])
+
+        def inter_case(_):
+            return (w_rec[i], recc[i],
+                    w_lev[i], jnp.zeros((4, 4), jnp.int32),
+                    jnp.int32(0), jnp.int32(0), levc[i], dcc[i])
+
+        rec, crec, lev, dclev, mode, cmode, clev, cdc = jax.lax.cond(
+            is_intra[i], intra_case, inter_case, None)
+        Yp = jax.lax.dynamic_update_slice(Yp, rec, (y0 + 1, x0 + 1))
+        Up = jax.lax.dynamic_update_slice(Up, crec[0], (yc + 1, xc + 1))
+        Vp = jax.lax.dynamic_update_slice(Vp, crec[1], (yc + 1, xc + 1))
+        w_lev = jax.lax.dynamic_update_slice(
+            w_lev, lev[None], (i, 0, 0, 0, 0))
+        levc = jax.lax.dynamic_update_slice(
+            levc, clev[None], (i, 0, 0, 0, 0, 0))
+        dcc = jax.lax.dynamic_update_slice(dcc, cdc[None], (i, 0, 0, 0))
+        lum_dc = jax.lax.dynamic_update_slice(lum_dc, dclev[None], (i, 0, 0))
+        i16mode = i16mode.at[i].set(mode)
+        cip = cip.at[i].set(cmode)
+        return (Yp, Up, Vp, w_lev, levc, dcc, lum_dc, i16mode, cip), None
+
+    init = (Yp, Up, Vp, w_lev, levc, dcc, lum_dc, i16mode, cip)
+    (Yp, Up, Vp, w_lev, levc, dcc, lum_dc, i16mode, cip), _ = jax.lax.scan(
+        body, init, jnp.arange(n_mb))
+    return (Yp[1:, 1:], Up[1:, 1:], Vp[1:, 1:], w_lev, lum_dc, i16mode,
+            cip, levc, dcc)
+
+
+def _chroma_pred4(up, left, ul, au, al):
+    """4 chroma pred modes for an 8x8 4:2:0 MB; up/left: (2, 8), ul: (2,).
+    Returns (4, 2, 8, 8) [DC, HOR, VERT, PLANE] (JM mode numbering)."""
+    u0, u1 = up[:, :4].sum(-1), up[:, 4:].sum(-1)
+    l0, l1 = left[:, :4].sum(-1), left[:, 4:].sum(-1)
+    both = au & al
+    # corner classes: TL/BR avg both; TR prefers up; BL prefers left
+    tl = jnp.where(both, (u0 + l0 + 4) >> 3,
+                   jnp.where(au, (u0 + 2) >> 2,
+                             jnp.where(al, (l0 + 2) >> 2, 128)))
+    tr = jnp.where(au, (u1 + 2) >> 2,
+                   jnp.where(al, (l0 + 2) >> 2, 128))
+    bl = jnp.where(al, (l1 + 2) >> 2,
+                   jnp.where(au, (u0 + 2) >> 2, 128))
+    br = jnp.where(both, (u1 + l1 + 4) >> 3,
+                   jnp.where(au, (u1 + 2) >> 2,
+                             jnp.where(al, (l1 + 2) >> 2, 128)))
+    dcq = jnp.stack([jnp.stack([tl, tr], -1), jnp.stack([bl, br], -1)], -2)
+    dc = jnp.repeat(jnp.repeat(dcq, 4, -1), 4, -2)  # (2, 8, 8)
+    hor = jnp.broadcast_to(left[:, :, None], (2, 8, 8))
+    vert = jnp.broadcast_to(up[:, None, :], (2, 8, 8))
+    i = jnp.arange(4)
+    ub = jnp.where((2 - i)[None] >= 0,
+                   jnp.take_along_axis(
+                       up, jnp.maximum(2 - i, 0)[None].repeat(2, 0), 1),
+                   ul[:, None])
+    Hg = ((i + 1)[None] * (up[:, 4:] - ub)).sum(-1)
+    lb = jnp.where((2 - i)[None] >= 0,
+                   jnp.take_along_axis(
+                       left, jnp.maximum(2 - i, 0)[None].repeat(2, 0), 1),
+                   ul[:, None])
+    Vg = ((i + 1)[None] * (left[:, 4:] - lb)).sum(-1)
+    a = 16 * (left[:, 7] + up[:, 7])
+    b = (34 * Hg + 32) >> 6
+    cc = (34 * Vg + 32) >> 6
+    xs = jnp.arange(8) - 3
+    pl = ((a[:, None, None] + b[:, None, None] * xs[None, None, :]
+           + cc[:, None, None] * xs[None, :, None] + 16) >> 5).clip(0, 255)
+    return jnp.stack([dc, hor, vert, pl])
+
+
+# ---------------------------------------------------------------------------
+# full-strength deblocking (bs 0..4) on device
+# ---------------------------------------------------------------------------
+
+def strengths_full(nz4, mvx4, mvy4, ref4, intra4):
+    """Boundary strengths for P frames with partitions + intra MBs.
+
+    nz4/mvx4/mvy4/ref4/intra4: (4*n_my, 4*n_mx) per-4x4 arrays.
+    BS rules (ldecod/src/loopFilter.c GetStrengthNormal): intra => 4 at MB
+    edges, 3 inside; else coeffs => 2; else mv/ref difference => 1."""
+    H4, W4 = nz4.shape
+
+    def bs(q, p, mb_edge):
+        ei = intra4[q] | intra4[p]
+        coef = nz4[q] | nz4[p]
+        mv_d = ((jnp.abs(mvx4[q] - mvx4[p]) >= 4)
+                | (jnp.abs(mvy4[q] - mvy4[p]) >= 4)
+                | (ref4[q] != ref4[p]))
+        inter = jnp.where(coef, 2, mv_d.astype(jnp.int32))
+        return jnp.where(ei, jnp.where(mb_edge, 4, 3), inter)
+
+    colv = (jnp.arange(1, W4) % 4 == 0)[None, :]
+    BSV = jnp.zeros((H4, W4), jnp.int32)
+    BSV = BSV.at[:, 1:].set(bs(
+        (slice(None), slice(1, None)), (slice(None), slice(0, W4 - 1)), colv))
+    rowh = (jnp.arange(1, H4) % 4 == 0)[:, None]
+    BSH = jnp.zeros((H4, W4), jnp.int32)
+    BSH = BSH.at[1:, :].set(bs(
+        (slice(1, None), slice(None)), (slice(0, H4 - 1), slice(None)), rowh))
+    return BSV, BSH
+
+
+def _edge_luma_full(L3, L2, L1, L0, R0, R1, R2, R3, S, alpha, beta, clip_row,
+                    max_val):
+    """One luma edge, normal (bs 1-3) + strong (bs 4) filters
+    (spec §8.7.2.3/§8.7.2.4; ldecod/src/loopFilter.c EdgeLoopLumaNormal).
+    Returns new (L2, L1, L0, R0, R1, R2)."""
+    delta = R0 - L0
+    filt = ((S != 0) & (jnp.abs(delta) < alpha)
+            & (jnp.abs(R0 - R1) < beta) & (jnp.abs(L0 - L1) < beta))
+    ap = jnp.abs(L0 - L2) < beta
+    aq = jnp.abs(R0 - R2) < beta
+    # normal path
+    C0 = clip_row[jnp.clip(S, 0, 3)]
+    c0 = C0 + ap + aq
+    dif = jnp.clip(((delta << 2) + (L1 - R1) + 4) >> 3, -c0, c0)
+    RL0 = (L0 + R0 + 1) >> 1
+    nL1 = L1 + jnp.where(ap, jnp.clip((L2 + RL0 - (L1 << 1)) >> 1, -C0, C0), 0)
+    nR1 = R1 + jnp.where(aq, jnp.clip((R2 + RL0 - (R1 << 1)) >> 1, -C0, C0), 0)
+    nL0 = jnp.clip(L0 + dif, 0, max_val)
+    nR0 = jnp.clip(R0 - dif, 0, max_val)
+    # strong path (bs == 4)
+    small = jnp.abs(delta) < ((alpha >> 2) + 2)
+    sp = ap & small
+    sq = aq & small
+    sL0 = jnp.where(sp, (L2 + 2 * L1 + 2 * L0 + 2 * R0 + R1 + 4) >> 3,
+                    (2 * L1 + L0 + R1 + 2) >> 2)
+    sL1 = jnp.where(sp, (L2 + L1 + L0 + R0 + 2) >> 2, L1)
+    sL2 = jnp.where(sp, (2 * L3 + 3 * L2 + L1 + L0 + R0 + 4) >> 3, L2)
+    sR0 = jnp.where(sq, (R2 + 2 * R1 + 2 * R0 + 2 * L0 + L1 + 4) >> 3,
+                    (2 * R1 + R0 + L1 + 2) >> 2)
+    sR1 = jnp.where(sq, (R2 + R1 + R0 + L0 + 2) >> 2, R1)
+    sR2 = jnp.where(sq, (2 * R3 + 3 * R2 + R1 + R0 + L0 + 4) >> 3, R2)
+    strong = S == 4
+    oL2 = jnp.where(strong, sL2, L2)
+    oL1 = jnp.where(strong, sL1, nL1)
+    oL0 = jnp.where(strong, sL0, nL0)
+    oR0 = jnp.where(strong, sR0, nR0)
+    oR1 = jnp.where(strong, sR1, nR1)
+    oR2 = jnp.where(strong, sR2, R2)
+    return (jnp.where(filt, oL2, L2), jnp.where(filt, oL1, L1),
+            jnp.where(filt, oL0, L0), jnp.where(filt, oR0, R0),
+            jnp.where(filt, oR1, R1), jnp.where(filt, oR2, R2))
+
+
+def _edge_chroma_full(L1, L0, R0, R1, S, alpha, beta, clip_row, max_val):
+    delta = R0 - L0
+    filt = ((S != 0) & (jnp.abs(delta) < alpha)
+            & (jnp.abs(R0 - R1) < beta) & (jnp.abs(L0 - L1) < beta))
+    c0 = clip_row[jnp.clip(S, 0, 3)] + 1
+    dif = jnp.clip(((delta << 2) + (L1 - R1) + 4) >> 3, -c0, c0)
+    nL0 = jnp.clip(L0 + dif, 0, max_val)
+    nR0 = jnp.clip(R0 - dif, 0, max_val)
+    sL0 = (2 * L1 + L0 + R1 + 2) >> 2
+    sR0 = (2 * R1 + R0 + L1 + 2) >> 2
+    strong = S == 4
+    oL0 = jnp.where(strong, sL0, nL0)
+    oR0 = jnp.where(strong, sR0, nR0)
+    return jnp.where(filt, oL0, L0), jnp.where(filt, oR0, R0)
+
+
+def deblock_device_full(rec_y, rec_u, rec_v, BSV, BSH, qp: int, qp_c: int,
+                        max_val: int = 255):
+    """Sequential (JM-order) full-strength deblock on device."""
+    H, W = rec_y.shape
+    n_my, n_mx = H // 16, W // 16
+    n_mb = n_my * n_mx
+    iA = min(51, max(0, qp))
+    alpha, beta = int(ALPHA_TABLE[iA]), int(BETA_TABLE[iA])
+    clip_row = jnp.asarray(CLIP_TAB[iA][:4], jnp.int32)
+    iAc = min(51, max(0, qp_c))
+    alpha_c, beta_c = int(ALPHA_TABLE[iAc]), int(BETA_TABLE[iAc])
+    clip_row_c = jnp.asarray(CLIP_TAB[iAc][:4], jnp.int32)
+
+    Yp = jnp.pad(rec_y, ((4, 0), (4, 0)))
+    Up = jnp.pad(rec_u, ((2, 0), (2, 0)))
+    Vp = jnp.pad(rec_v, ((2, 0), (2, 0)))
+
+    def mb_step(carry, addr):
+        Yp, Up, Vp = carry
+        r = addr // n_mx
+        c = addr % n_mx
+        y0, x0 = 16 * r, 16 * c
+        A = jax.lax.dynamic_slice(Yp, (y0, x0), (20, 20))
+        x4o, y4o = 4 * c, 4 * r
+        sv = jax.lax.dynamic_slice(BSV, (y4o, x4o), (4, 4))
+        sh = jax.lax.dynamic_slice(BSH, (y4o, x4o), (4, 4))
+        for e in range(4):
+            colx = 4 + 4 * e
+            S16 = jnp.repeat(sv[:, e], 4)
+            cols = [A[4:20, colx + k] for k in (-4, -3, -2, -1, 0, 1, 2, 3)]
+            nL2, nL1, nL0, nR0, nR1, nR2 = _edge_luma_full(
+                *cols, S16, alpha, beta, clip_row, max_val)
+            A = A.at[4:20, colx - 3].set(nL2)
+            A = A.at[4:20, colx - 2].set(nL1)
+            A = A.at[4:20, colx - 1].set(nL0)
+            A = A.at[4:20, colx].set(nR0)
+            A = A.at[4:20, colx + 1].set(nR1)
+            A = A.at[4:20, colx + 2].set(nR2)
+        for e in range(4):
+            rowy = 4 + 4 * e
+            S16 = jnp.repeat(sh[e, :], 4)
+            rows = [A[rowy + k, 4:20] for k in (-4, -3, -2, -1, 0, 1, 2, 3)]
+            nL2, nL1, nL0, nR0, nR1, nR2 = _edge_luma_full(
+                *rows, S16, alpha, beta, clip_row, max_val)
+            A = A.at[rowy - 3, 4:20].set(nL2)
+            A = A.at[rowy - 2, 4:20].set(nL1)
+            A = A.at[rowy - 1, 4:20].set(nL0)
+            A = A.at[rowy, 4:20].set(nR0)
+            A = A.at[rowy + 1, 4:20].set(nR1)
+            A = A.at[rowy + 2, 4:20].set(nR2)
+        Yp = jax.lax.dynamic_update_slice(Yp, A, (y0, x0))
+
+        yc, xc = 8 * r, 8 * c
+        for P_, handle in ((Up, 0), (Vp, 1)):
+            C = jax.lax.dynamic_slice(P_, (yc, xc), (10, 10))
+            for e in range(2):
+                colx = 2 + 4 * e
+                S8 = jnp.repeat(sv[:, 2 * e], 2)
+                cl = [C[2:10, colx + k] for k in (-2, -1, 0, 1)]
+                nL0, nR0 = _edge_chroma_full(
+                    cl[0], cl[1], cl[2], cl[3], S8, alpha_c, beta_c,
+                    clip_row_c, max_val)
+                C = C.at[2:10, colx - 1].set(nL0)
+                C = C.at[2:10, colx].set(nR0)
+            for e in range(2):
+                rowy = 2 + 4 * e
+                S8 = jnp.repeat(sh[2 * e, :], 2)
+                rw = [C[rowy + k, 2:10] for k in (-2, -1, 0, 1)]
+                nL0, nR0 = _edge_chroma_full(
+                    rw[0], rw[1], rw[2], rw[3], S8, alpha_c, beta_c,
+                    clip_row_c, max_val)
+                C = C.at[rowy - 1, 2:10].set(nL0)
+                C = C.at[rowy, 2:10].set(nR0)
+            if handle == 0:
+                Up = jax.lax.dynamic_update_slice(Up, C, (yc, xc))
+            else:
+                Vp = jax.lax.dynamic_update_slice(Vp, C, (yc, xc))
+        return (Yp, Up, Vp), None
+
+    (Yp, Up, Vp), _ = jax.lax.scan(mb_step, (Yp, Up, Vp), jnp.arange(n_mb))
+    return Yp[4:, 4:], Up[2:, 2:], Vp[2:, 2:]
+
+
+@jax.jit
+def stack_outputs(flats):
+    return jnp.stack(flats)
