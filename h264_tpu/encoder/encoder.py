@@ -60,6 +60,9 @@ class EncoderConfig:
     fast: bool = False  # device-batched P-frame pipeline
     rd: bool = True  # RD mode decision in the fast path (partitions,
     # multi-ref, skip-RD, intra-in-P); False = legacy P16x16-only path
+    row_slices: int = 1  # tile-row slice groups in the rd fast path: each
+    # group is an independent slice (deblock idc=2) — the unit of
+    # tile-row sharding across chips (rd.rd_p_rows_pipeline)
     entropy: str = "cavlc"  # "cavlc" (Baseline) or "cabac" (Main)
     pipeline_depth: int = 8  # frames in flight in encode_stream
     b_frames: int = 0  # B pictures between anchors (0 = IPPP)
@@ -87,7 +90,10 @@ class H264Encoder:
         self.sps = SPS(
             profile_idc=77 if (cfg.entropy == "cabac" or use_b) else 66,
             level_idc=30,
-            num_ref_frames=max(2, cfg.num_ref_frames) if use_b
+            # with B pictures the DPB must retain the list0 anchors PLUS
+            # the future anchor, so temporal-direct colocated references
+            # stay mappable into the B slice's list0
+            num_ref_frames=cfg.num_ref_frames + 1 if use_b
             else cfg.num_ref_frames,
             pic_width_in_mbs_minus1=cfg.width // 16 - 1,
             pic_height_in_map_units_minus1=cfg.height // 16 - 1,
@@ -97,6 +103,10 @@ class H264Encoder:
             log2_max_frame_num_minus4=4,
         )
         self.pps = PPS(entropy_coding_mode_flag=(cfg.entropy == "cabac"))
+        if cfg.row_slices > 1:
+            # tile-row slices are deblocked independently (idc=2): the
+            # slice header must carry the filter-control fields
+            self.pps.deblocking_filter_control_present_flag = True
         if cfg.num_slice_groups > 1:
             p = self.pps
             p.num_slice_groups_minus1 = cfg.num_slice_groups - 1
@@ -126,7 +136,8 @@ class H264Encoder:
         self.recon_pics: list = []  # (poc, planes, state, padded)
         self.all_recons: list = []  # (poc, planes) of every host-path picture
         self._dev_ref = None  # device-resident ref state (fast path)
-        self._rd_refs: list = []  # [(poc, bank, cpad)] newest-first (rd path)
+        self._rd_refs: list = []  # [(poc, bank, cpad, col)] newest-first
+        self._anchor_ref_pocs: dict = {}  # anchor poc -> its list0 pocs
         self._prev_poc = 0
         lam = 0.85 * 2.0 ** ((cfg.qp - 12) / 3.0)
         self.lambda_me = int(np.sqrt(lam) * 65536 + 0.5)
@@ -207,6 +218,10 @@ class H264Encoder:
         SetImgType + image.c B-frame loop).  Pattern I (B^n P)*: each
         anchor P is encoded before the B pictures it back-references;
         POC carries the display order (2 * display index)."""
+        if (self.cfg.fast and self.cfg.rd and self.rc is None
+                and not self._multi_slice):
+            yield from self._encode_stream_b_rd(frames)
+            return
         nb = self.cfg.b_frames
         idr_p = self.cfg.idr_period
         pend: list = []  # buffered display frames awaiting their anchor
@@ -349,7 +364,7 @@ class H264Encoder:
 
         self.all_recons.append((poc, planes))
         if is_ref:
-            if self.cfg.fast and cfg.b_frames == 0:
+            if self.cfg.fast and (cfg.b_frames == 0 or cfg.rd):
                 if cfg.rd:
                     import jax.numpy as jnp
 
@@ -357,10 +372,27 @@ class H264Encoder:
                         jnp.asarray(planes.Y), jnp.asarray(planes.U),
                         jnp.asarray(planes.V),
                     )
-                    self._rd_refs = ([(poc, bank, cpad)] + self._rd_refs)[
+                    # host-path pictures entering the device DPB are intra
+                    # (I/IDR): colocated motion is all-intra
+                    H4, W4 = 4 * self.sps.frame_height_in_mbs, \
+                        4 * self.sps.pic_width_in_mbs
+                    col = (jnp.ones((H4, W4), bool),
+                           jnp.zeros((H4, W4), jnp.int32),
+                           jnp.zeros((H4, W4), jnp.int32),
+                           jnp.zeros((H4, W4), jnp.int32))
+                    self._rd_refs = ([(poc, bank, cpad, col)]
+                                     + self._rd_refs)[
                         : self.sps.num_ref_frames
                     ]
+                    self._anchor_ref_pocs[poc] = []
                     padded = None
+                    if self.rc is not None or self._multi_slice:
+                        # host P/B coding still runs in these modes
+                        padded = (
+                            MC.pad_plane(planes.Y),
+                            MC.pad_plane(planes.U),
+                            MC.pad_plane(planes.V),
+                        )
                 else:
                     padded = FAST.ref_resources(planes)
                     self._dev_ref = padded
@@ -405,7 +437,7 @@ class H264Encoder:
         return slices
 
     # ------------------------------------------------------------------
-    def _start_p_rd(self, yuv):
+    def _start_p_rd(self, yuv, poc: int | None = None):
         """Dispatch the device RD pipeline for a P frame (partitions,
         multi-ref, skip-RD, intra-in-P; encoder/rd.py)."""
         import jax.numpy as jnp
@@ -418,19 +450,29 @@ class H264Encoder:
         cur = tuple(
             jnp.asarray(np.ascontiguousarray(p, np.uint8)) for p in yuv
         )
-        banks = jnp.stack([b for (_, b, _) in self._rd_refs])
-        cpads = jnp.stack([c for (_, _, c) in self._rd_refs])
-        host_out, recon, new_entry = RD.rd_p_pipeline(
-            *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 16),
-            qp=qp, qp_c=qp_c, lam=self.lambda_mode_fx,
-            lam_me=self.lambda_mode_fx,
-        )
+        refs = self._rd_refs[: max(1, cfg.num_ref_frames)]
+        banks = jnp.stack([e[1] for e in refs])
+        cpads = jnp.stack([e[2] for e in refs])
+        if cfg.row_slices > 1:
+            host_out, recon, new_entry = RD.rd_p_rows_pipeline(
+                *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 16),
+                qp=qp, qp_c=qp_c, lam=self.lambda_mode_fx,
+                lam_me=self.lambda_mode_fx, G=cfg.row_slices,
+            )
+        else:
+            host_out, recon, new_entry = RD.rd_p_pipeline(
+                *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 16),
+                qp=qp, qp_c=qp_c, lam=self.lambda_mode_fx,
+                lam_me=self.lambda_mode_fx,
+            )
         frame_num = self.frame_num
         self.frame_num += 1
-        ref_pocs = [p for (p, _, _) in self._rd_refs]
-        poc = self._prev_poc + 2
+        ref_pocs = [e[0] for e in refs]
+        if poc is None:
+            poc = self._prev_poc + 2
         self._prev_poc = poc
-        self._rd_refs = ([(poc, new_entry[0], new_entry[1])] + self._rd_refs)[
+        self._anchor_ref_pocs[poc] = ref_pocs
+        self._rd_refs = ([(poc,) + tuple(new_entry)] + self._rd_refs)[
             : sps.num_ref_frames
         ]
         return ("rd", host_out, recon, frame_num, poc, ref_pocs, qp)
@@ -449,9 +491,18 @@ class H264Encoder:
         st.qpc[:, 1] = chroma_qp(qp, cr_off)
         if fetched is None:
             fetched = np.asarray(host_out)
-        sizes = [n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, n_mb, n_mb,
-                 256 * n_mb, 16 * n_mb, 128 * n_mb, 8 * n_mb]
-        parts = np.split(fetched, np.cumsum(sizes)[:-1])
+        if fetched.ndim == 2:  # row-sliced: (G, per-group buffer)
+            G = fetched.shape[0]
+            n_g = n_mb // G
+            sz_g = [n_g, 4 * n_g, 4 * n_g, 4 * n_g, n_g, n_g,
+                    256 * n_g, 16 * n_g, 128 * n_g, 8 * n_g]
+            per_g = [np.split(row, np.cumsum(sz_g)[:-1]) for row in fetched]
+            parts = [np.concatenate([pg[k] for pg in per_g])
+                     for k in range(len(sz_g))]
+        else:
+            sizes = [n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, n_mb, n_mb,
+                     256 * n_mb, 16 * n_mb, 128 * n_mb, 8 * n_mb]
+            parts = np.split(fetched, np.cumsum(sizes)[:-1])
         win = parts[0]
         ref8 = parts[1].reshape(n_mb, 4)
         mv8x = parts[2].reshape(n_mb, 4)
@@ -463,32 +514,47 @@ class H264Encoder:
         levc = parts[8].reshape(n_mb, 2, 2, 2, 4, 4)
         dcc = parts[9].reshape(n_mb, 2, 2, 2)
         planes.Y, planes.U, planes.V = recon
+        G = cfg.row_slices if cfg.row_slices > 1 else 1
+        n_g = n_mb // G
+        for g in range(G):
+            st.slice_id[g * n_g : (g + 1) * n_g] = g
+        if G > 1:
+            st.lf_disable[:] = 2  # no filtering across slice edges
         self._fill_p_state_rd(st, win, ref8, mv8x, mv8y, i16mode, cip,
                               lev, dc, levc, dcc, ref_pocs)
         nr = len(ref_pocs)
-        sh = SliceHeader(
-            slice_type_code=SliceType.P.value,
-            frame_num=frame_num % sps.max_frame_num,
-            is_idr=False,
-            nal_ref_idc=3,
-            num_ref_idx_active_override_flag=nr - 1
-            != pps.num_ref_idx_l0_default_active_minus1,
-            num_ref_idx_l0_active_minus1=nr - 1,
-            slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
-        )
-        w = write_slice_header(sh, sps, pps)
-        if pps.entropy_coding_mode_flag:
-            writer = CabacSliceWriter(st, sps, pps, sh)
-            writer.write_slice_data(w, list(range(st.n_mbs)))
-        else:
-            writer = CavlcSliceWriter(st, sps, pps, sh)
-            writer.write_slice_data(w, list(range(st.n_mbs)))
-            w.rbsp_trailing_bits()
-        nal = NalUnit(1, 3, w.get_bytes())
+        nals = []
+        for g in range(G):
+            sh = SliceHeader(
+                first_mb_in_slice=g * n_g,
+                slice_type_code=SliceType.P.value,
+                frame_num=frame_num % sps.max_frame_num,
+                is_idr=False,
+                nal_ref_idc=3,
+                pic_order_cnt_lsb=(
+                    poc % (1 << (sps.log2_max_pic_order_cnt_lsb_minus4 + 4))
+                    if sps.pic_order_cnt_type == 0 else 0
+                ),
+                num_ref_idx_active_override_flag=nr - 1
+                != pps.num_ref_idx_l0_default_active_minus1,
+                num_ref_idx_l0_active_minus1=nr - 1,
+                disable_deblocking_filter_idc=2 if G > 1 else 0,
+                slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
+            )
+            w = write_slice_header(sh, sps, pps)
+            addrs = list(range(g * n_g, (g + 1) * n_g))
+            if pps.entropy_coding_mode_flag:
+                writer = CabacSliceWriter(st, sps, pps, sh)
+                writer.write_slice_data(w, addrs)
+            else:
+                writer = CavlcSliceWriter(st, sps, pps, sh)
+                writer.write_slice_data(w, addrs)
+                w.rbsp_trailing_bits()
+            nals.append(NalUnit(1, 3, w.get_bytes()))
         self.recon_pics = (self.recon_pics + [(poc, planes, st, None)])[
             -self.cfg.num_ref_frames:
         ]
-        return [nal]
+        return nals
 
     def _fill_p_state_rd(self, st, win, ref8, mv8x, mv8y, i16mode, cip,
                          lev, dc, levc, dcc, ref_pocs):
@@ -578,6 +644,250 @@ class H264Encoder:
                 st.mvd[0, y4 + by : y4 + by + h4, x4 + bx : x4 + bx + w4] = (
                     mv[0] - p[0], mv[1] - p[1]
                 )
+
+    # ------------------------------------------------------------------
+    # B pictures on the device RD pipeline (temporal direct)
+    # ------------------------------------------------------------------
+    def _encode_stream_b_rd(self, frames):
+        """Decode-order emission I (B^n P)* with device anchors and
+        device B pictures (temporal direct).  Mirrors _encode_stream_b."""
+        nb = self.cfg.b_frames
+        idr_p = self.cfg.idr_period
+        pend: list = []
+        base = 0
+        for idx, yuv in enumerate(frames):
+            is_idr = idx == 0 or (idr_p and idx % idr_p == 0)
+            if is_idr:
+                for b_yuv, b_idx in pend:  # close the GOP with P pictures
+                    yield self._finish_p_rd(
+                        self._start_p_rd(b_yuv, poc=2 * (b_idx - base)))
+                pend = []
+                base = idx
+                yield self._encode_picture(yuv, SliceType.I, True, 0)
+            elif len(pend) < nb:
+                pend.append((yuv, idx))
+            else:
+                yield self._finish_p_rd(
+                    self._start_p_rd(yuv, poc=2 * (idx - base)))
+                for b_yuv, b_idx in pend:
+                    yield self._finish_b_rd(
+                        self._start_b_rd(b_yuv, 2 * (b_idx - base)))
+                pend = []
+        for b_yuv, b_idx in pend:
+            yield self._finish_p_rd(
+                self._start_p_rd(b_yuv, poc=2 * (b_idx - base)))
+
+    def _start_b_rd(self, yuv, poc: int):
+        import jax.numpy as jnp
+
+        from ..decoder.mv import dist_scale_factor
+
+        cfg, sps, pps = self.cfg, self.sps, self.pps
+        H, W = sps.height, sps.width
+        qp = cfg.qp + cfg.qp_b_offset
+        cb_off, _ = pps.chroma_qp_offset
+        qp_c = chroma_qp(qp, cb_off)
+        cur = tuple(
+            jnp.asarray(np.ascontiguousarray(p, np.uint8)) for p in yuv
+        )
+        past = [e for e in self._rd_refs if e[0] < poc]
+        fut = [e for e in self._rd_refs if e[0] > poc]
+        assert past and fut, "B picture needs anchors on both sides"
+        past = past[: max(1, cfg.num_ref_frames)]
+        fut_e = min(fut, key=lambda e: e[0])
+        banks0 = jnp.stack([e[1] for e in past])
+        cpads0 = jnp.stack([e[2] for e in past])
+        banks1 = jnp.stack([fut_e[1]])
+        cpads1 = jnp.stack([fut_e[2]])
+        col_intra4, col_ref4, col_mvx4, col_mvy4 = fut_e[3]
+        pocs0 = [e[0] for e in past]
+        poc1 = fut_e[0]
+        # the colocated picture's ref indices map into ITS list0 (the
+        # anchor pocs at its encode time) — translate into OUR list0
+        anchor_pocs = self._anchor_ref_pocs.get(poc1, pocs0)
+        trans = []
+        for p0 in anchor_pocs:
+            assert p0 in pocs0, (
+                f"temporal direct: colocated ref poc {p0} not in B list0 "
+                f"{pocs0}")
+            trans.append(pocs0.index(p0))
+        if trans:
+            col_ref4 = jnp.asarray(np.asarray(trans, np.int32))[
+                jnp.clip(col_ref4, 0, len(trans) - 1)]
+        dsf = [dist_scale_factor(poc, p0, poc1) for p0 in pocs0]
+        eq = [p0 == poc1 for p0 in pocs0]
+        lam = int(0.85 * 2.0 ** ((qp - 12) / 3.0) * 65536 + 0.5)
+        host_out, recon = RD.rd_b_pipeline(
+            *cur, banks0, cpads0, banks1, cpads1,
+            col_intra4, col_ref4, col_mvx4, col_mvy4,
+            jnp.asarray(np.asarray(pocs0, np.int32)),
+            jnp.asarray(np.asarray(dsf, np.int32)),
+            jnp.asarray(np.asarray(eq, bool)),
+            jnp.int32(poc1),
+            H=H, W=W, R=min(cfg.search_range, 16), qp=qp, qp_c=qp_c,
+            lam=lam, lam_me=lam,
+        )
+        return (host_out, recon, poc, pocs0, poc1, qp)
+
+    def _finish_b_rd(self, pending) -> list[NalUnit]:
+        host_out, recon, poc, pocs0, poc1, qp = pending
+        cfg, sps, pps = self.cfg, self.sps, self.pps
+        W, H = sps.pic_width_in_mbs, sps.frame_height_in_mbs
+        n_mb = W * H
+        st = PictureParseState(W, H)
+        planes = Planes(sps)
+        st.slice_id[:] = 0
+        st.qp[:] = qp
+        cb_off, cr_off = pps.chroma_qp_offset
+        st.qpc[:, 0] = chroma_qp(qp, cb_off)
+        st.qpc[:, 1] = chroma_qp(qp, cr_off)
+        fetched = np.asarray(host_out)
+        sizes = [n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb,
+                 n_mb, n_mb, 256 * n_mb, 16 * n_mb, 128 * n_mb, 8 * n_mb]
+        parts = np.split(fetched, np.cumsum(sizes)[:-1])
+        win = parts[0]
+        idx0 = parts[1].reshape(n_mb, 4)
+        m0x = parts[2].reshape(n_mb, 4)
+        m0y = parts[3].reshape(n_mb, 4)
+        m1x = parts[4].reshape(n_mb, 4)
+        m1y = parts[5].reshape(n_mb, 4)
+        i16mode = parts[6]
+        cip = parts[7]
+        lev = parts[8].reshape(n_mb, 4, 4, 4, 4)
+        dc = parts[9].reshape(n_mb, 4, 4)
+        levc = parts[10].reshape(n_mb, 2, 2, 2, 4, 4)
+        dcc = parts[11].reshape(n_mb, 2, 2, 2)
+        planes.Y, planes.U, planes.V = recon
+        self._fill_b_state_rd(st, win, idx0, m0x, m0y, m1x, m1y, i16mode,
+                              cip, lev, dc, levc, dcc, poc, pocs0, poc1)
+        nr0 = len(pocs0)
+        sh = SliceHeader(
+            slice_type_code=SliceType.B.value,
+            frame_num=self.frame_num % sps.max_frame_num,
+            is_idr=False,
+            nal_ref_idc=0,
+            pic_order_cnt_lsb=(
+                poc % (1 << (sps.log2_max_pic_order_cnt_lsb_minus4 + 4))
+            ),
+            direct_spatial_mv_pred_flag=False,
+            num_ref_idx_active_override_flag=True,
+            num_ref_idx_l0_active_minus1=nr0 - 1,
+            num_ref_idx_l1_active_minus1=0,
+            slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
+        )
+        w = write_slice_header(sh, sps, pps)
+        if pps.entropy_coding_mode_flag:
+            writer = CabacSliceWriter(st, sps, pps, sh)
+            writer.write_slice_data(w, list(range(st.n_mbs)))
+        else:
+            writer = CavlcSliceWriter(st, sps, pps, sh)
+            writer.write_slice_data(w, list(range(st.n_mbs)))
+            w.rbsp_trailing_bits()
+        self.all_recons.append((poc, planes))
+        return [NalUnit(1, 0, w.get_bytes())]
+
+    def _fill_b_state_rd(self, st, win, idx0, m0x, m0y, m1x, m1y, i16mode,
+                         cip, lev, dc, levc, dcc, poc, pocs0, poc1):
+        from ..decoder.mv import _temporal_direct
+
+        n_mb = st.n_mbs
+        n_my, n_mx = st.H, st.W
+        NONE = -(10 ** 9)
+        intra = win == RD.B_I16
+        direct = (win == RD.B_DIRECT) | (win == RD.B_DIRECT_ZERO)
+        st.ipredmode[:] = 2
+        st.is_intra[:] = intra
+        st.i16mode[:] = np.where(intra, i16mode, -1)
+        st.c_ipred_mode[:] = np.where(intra, cip, 0)
+        st.mb_type[:] = np.where(
+            direct, M.BSKIP_DIRECT,
+            np.where(intra, M.I16MB, M.P16x16))
+        st.b8mode[:] = np.where(direct, M.B8_DIRECT,
+                                np.where(intra, 0, 1))[:, None]
+        pd = np.where(win == RD.B_L0, M.PD_L0,
+                      np.where(win == RD.B_L1, M.PD_L1, M.PD_BI))
+        st.b8pdir[:] = np.where(intra, M.PD_INTRA, pd)[:, None]
+        # residuals (shared layout with the P fill)
+        zperm = np.empty(16, np.int64)
+        for br in range(4):
+            for bc in range(4):
+                zperm[int(M.XY_TO_BLK4[br, bc])] = br * 4 + bc
+        st.luma_levels[:] = lev.reshape(n_mb, 16, 4, 4)[:, zperm]
+        st.luma_dc[:] = np.where(intra[:, None, None], dc, 0)
+        st.chroma_levels[:] = levc.reshape(n_mb, 2, 4, 4, 4)
+        st.chroma_dc[:] = dcc
+        nz4 = lev.any(axis=(3, 4))
+        q8 = nz4.reshape(n_mb, 2, 2, 2, 2).any(axis=(2, 4))
+        cbp_inter = (q8[:, 0, 0] * 1 + q8[:, 0, 1] * 2 + q8[:, 1, 0] * 4
+                     + q8[:, 1, 1] * 8)
+        cbp_l = np.where(intra, np.where(nz4.any((1, 2)), 15, 0), cbp_inter)
+        has_ac = levc.any(axis=(2, 3, 4, 5)).any(axis=1)
+        has_dc = dcc.any(axis=(2, 3)).any(axis=1)
+        cbp_c = np.where(has_ac, 2, np.where(has_dc, 1, 0))
+        st.cbp[:] = cbp_l + 16 * cbp_c
+        weights = (1 << np.arange(16, dtype=np.int64)).reshape(4, 4)
+        st.cbp_blk = ((nz4 * weights).sum(axis=(1, 2))
+                      | (dc.any(axis=(1, 2)) & intra)).tolist()
+
+        # motion state: explicit 16x16 first (direct derived after)
+        def to_pic4(a8):
+            p = (a8.reshape(n_my, n_mx, 2, 2).transpose(0, 2, 1, 3)
+                 .reshape(2 * n_my, 2 * n_mx))
+            return np.repeat(np.repeat(p, 2, 0), 2, 1)
+
+        use0 = np.isin(win, (RD.B_L0, RD.B_BI))
+        use1 = np.isin(win, (RD.B_L1, RD.B_BI))
+        u0_4 = np.repeat(np.repeat(use0.reshape(n_my, n_mx), 4, 0), 4, 1)
+        u1_4 = np.repeat(np.repeat(use1.reshape(n_my, n_mx), 4, 0), 4, 1)
+        poc_of0 = np.asarray(pocs0, np.int64)
+        r4 = to_pic4(idx0)
+        st.mv[0, ..., 0] = np.where(u0_4, to_pic4(m0x), 0)
+        st.mv[0, ..., 1] = np.where(u0_4, to_pic4(m0y), 0)
+        st.ref_idx[0] = np.where(u0_4, r4, -1)
+        st.ref_pic_id[0] = np.where(
+            u0_4, poc_of0[np.clip(r4, 0, len(pocs0) - 1)], NONE)
+        st.mv[1, ..., 0] = np.where(u1_4, to_pic4(m1x), 0)
+        st.mv[1, ..., 1] = np.where(u1_4, to_pic4(m1y), 0)
+        st.ref_idx[1] = np.where(u1_4, 0, -1)
+        st.ref_pic_id[1] = np.where(u1_4, poc1, NONE)
+
+        # temporal direct derivation for direct MBs (decoder semantics)
+        fut = next(e for e in self.recon_pics if e[0] == poc1)
+        ast = fut[2]
+        info = {
+            "col": {
+                "poc": poc1,
+                "ref_idx0": ast.ref_idx[0], "ref_idx1": ast.ref_idx[1],
+                "ref_id0": ast.ref_pic_id[0], "ref_id1": ast.ref_pic_id[1],
+                "mv0": ast.mv[0], "mv1": ast.mv[1],
+            },
+            "cur_poc": poc,
+            "ref_ids": [list(pocs0), [poc1]],
+            "ref_lt": [[False] * 32, [False] * 32],
+            "direct_8x8_inference": bool(
+                self.sps.direct_8x8_inference_flag),
+        }
+        for addr in np.nonzero(direct)[0]:
+            _temporal_direct(st, int(addr), info)
+            if int(st.cbp[addr]) == 0:
+                st.skip_flag[addr] = 1
+        # exact PMV/MVD for explicit MBs (raster; final neighbor state)
+        for addr in range(n_mb):
+            wv = int(win[addr])
+            if wv not in (RD.B_L0, RD.B_L1, RD.B_BI):
+                continue
+            x4, y4 = st.mb_block_origin(addr)
+            for lst in (0, 1):
+                if lst == 0 and wv == RD.B_L1:
+                    continue
+                if lst == 1 and wv == RD.B_L0:
+                    continue
+                ref = int(st.ref_idx[lst, y4, x4])
+                p = predict_mv(st, addr, lst, ref, 0, 0, 4, 4)
+                mv = (int(st.mv[lst, y4, x4, 0]),
+                      int(st.mv[lst, y4, x4, 1]))
+                st.mvd[lst, y4 : y4 + 4, x4 : x4 + 4] = (
+                    mv[0] - p[0], mv[1] - p[1])
 
     def _start_p_fast(self, yuv):
         """Dispatch the device step for a fast-path P frame.

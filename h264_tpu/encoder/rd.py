@@ -610,7 +610,10 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         w_lev.reshape(-1), lum_dc.reshape(-1),
         levc.reshape(-1), dcc.reshape(-1),
     ])
-    return host_out, (dy_, du_, dv_), (new_bank, new_cpad)
+    # colocated-motion snapshot for temporal direct in future B pictures
+    # (final per-4x4 list-0 motion of this picture; stays on device)
+    col = (intra4, ref4, mvx4, mvy4)
+    return host_out, (dy_, du_, dv_), (new_bank, new_cpad, col)
 
 
 # ---------------------------------------------------------------------------
@@ -1013,3 +1016,530 @@ def deblock_device_full(rec_y, rec_u, rec_v, BSV, BSH, qp: int, qp_c: int,
 @jax.jit
 def stack_outputs(flats):
     return jnp.stack(flats)
+
+
+# ---------------------------------------------------------------------------
+# B pipeline (temporal direct; lencod/src/mv-search.c:1462 Get_Direct_
+# Motion_Vectors temporal branch re-shaped as a batched derivation)
+# ---------------------------------------------------------------------------
+
+B_DIRECT_ZERO = 7  # direct prediction with forced-zero residual (B skip)
+
+
+def _dynfrac_mc(banks, r, mvx, mvy, y0, x0, h: int, w: int):
+    """Quarter-pel MC with data-dependent fraction: one window gather +
+    16 static fraction variants + select."""
+    iy = y0 + (mvy >> 2) + PAD
+    ix = x0 + (mvx >> 2) + PAD
+    wins = jax.lax.dynamic_slice(banks, (r, 0, iy, ix),
+                                 (1, 4, h + 2, w + 2))[0]
+    f = (mvy & 3) * 4 + (mvx & 3)
+    variants = []
+    for frac in range(16):
+        t = _QTAB[frac]
+        a = wins[t[0], t[1]: t[1] + h, t[2]: t[2] + w]
+        b = wins[t[3], t[4]: t[4] + h, t[5]: t[5] + w]
+        variants.append((a + b + 1) >> 1)
+    return jnp.stack(variants)[f]
+
+
+def strengths_full_b(nz4, intra4, v0, r0, m0x, m0y, v1, r1, m1x, m1y):
+    """Boundary strengths for B frames: two-list reference-picture pairing
+    rule (ops/deblock.py _mv_strength; ldecod/src/loopFilter.c)."""
+    H4, W4 = nz4.shape
+    NONE = jnp.int32(-(10 ** 9))
+    rid0 = jnp.where(v0, r0, NONE)
+    rid1 = jnp.where(v1, r1, NONE)
+
+    def bs(q, p, mb_edge):
+        ei = intra4[q] | intra4[p]
+        coef = nz4[q] | nz4[p]
+        rq0, rq1 = rid0[q], rid1[q]
+        rp0, rp1 = rid0[p], rid1[p]
+        straight = (rq0 == rp0) & (rq1 == rp1)
+        crossed = (rq0 == rp1) & (rq1 == rp0)
+
+        def diff(ax, ay, bx, by):
+            return (jnp.abs(ax[q] - bx[p]) >= 4) | (jnp.abs(ay[q] - by[p]) >= 4)
+
+        d00 = diff(m0x, m0y, m0x, m0y)
+        d11 = diff(m1x, m1y, m1x, m1y)
+        d01 = diff(m0x, m0y, m1x, m1y)
+        d10 = diff(m1x, m1y, m0x, m0y)
+        # q-side two distinct refs: check the matching pairing only
+        mv_two = jnp.where(rq0 == rp0, d00 | d11, d01 | d10)
+        mv_same = (d00 | d11) & (d01 | d10)
+        mv_d = jnp.where(rq0 != rq1, mv_two, mv_same)
+        inter = jnp.where(coef, 2,
+                          jnp.where(straight | crossed,
+                                    mv_d.astype(jnp.int32), 1))
+        return jnp.where(ei, jnp.where(mb_edge, 4, 3), inter)
+
+    colv = (jnp.arange(1, W4) % 4 == 0)[None, :]
+    BSV = jnp.zeros((H4, W4), jnp.int32)
+    BSV = BSV.at[:, 1:].set(bs(
+        (slice(None), slice(1, None)), (slice(None), slice(0, W4 - 1)), colv))
+    rowh = (jnp.arange(1, H4) % 4 == 0)[:, None]
+    BSH = jnp.zeros((H4, W4), jnp.int32)
+    BSH = BSH.at[1:, :].set(bs(
+        (slice(1, None), slice(None)), (slice(0, H4 - 1), slice(None)), rowh))
+    return BSV, BSH
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "H", "W", "R", "qp", "qp_c", "lam", "lam_me"))
+def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
+                  col_intra4, col_ref4, col_mvx4, col_mvy4,
+                  pocs0, dsf_tab, eq_tab, poc1,
+                  H: int, W: int, R: int, qp: int, qp_c: int,
+                  lam: int, lam_me: int):
+    """Whole-frame RD B encode (non-reference, temporal direct).
+
+    banks0/cpads0: stacked list-0 (past anchor) refs; banks1/cpads1: the
+    list-1 anchor (leading dim 1).  col_*: per-4x4 final list-0 motion of
+    the list-1 anchor (its rd_p_pipeline `col` output).  pocs0 (NR0,):
+    POCs of list0; dsf_tab (NR0,): DistScaleFactor per list0 ref;
+    eq_tab (NR0,) bool: poc0 == poc1 (unscaled direct).  All device
+    arrays, so GOP-varying POCs never recompile."""
+    cur_y = cur_y8.astype(jnp.int32)
+    cur_u = cur_u8.astype(jnp.int32)
+    cur_v = cur_v8.astype(jnp.int32)
+    NR0 = banks0.shape[0]
+    n_my, n_mx = H // 16, W // 16
+    n_mb = n_my * n_mx
+    D = 2 * R + 1
+    nby, nbx = H // 8, W // 8
+    n_b8 = nby * nbx
+    cur8 = (cur_y.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+            .reshape(n_b8, 8, 8))
+    cur2 = (cur8 * cur8).sum((-1, -2))
+    b8_ys = (jnp.arange(n_b8) // nbx) * 8
+    b8_xs = (jnp.arange(n_b8) % nbx) * 8
+    Wn = 2 * R + 8
+
+    def block_ssd(ref_pad, bi):
+        y0, x0 = b8_ys[bi], b8_xs[bi]
+        win = jax.lax.dynamic_slice(
+            ref_pad, (y0 - R + PAD, x0 - R + PAD), (Wn, Wn))
+        cross = jnp.zeros((D, D), jnp.int32)
+        cb = cur8[bi]
+        for i in range(8):
+            for j in range(8):
+                cross = cross + cb[i, j] * jax.lax.dynamic_slice(
+                    win, (i, j), (D, D))
+        w2 = win * win
+        vc = jnp.cumsum(jnp.pad(w2, ((1, 0), (0, 0))), axis=0)
+        vbox = vc[8:] - vc[:-8]
+        hc = jnp.cumsum(jnp.pad(vbox, ((0, 0), (1, 0))), axis=1)
+        r2 = hc[:, 8:] - hc[:, :-8]
+        return r2 - 2 * cross + cur2[bi]
+
+    def ssd16_of(banks):
+        nr = banks.shape[0]
+        s8 = jax.vmap(
+            lambda r: jax.vmap(lambda b: block_ssd(banks[r, 0], b))(
+                jnp.arange(n_b8))
+        )(jnp.arange(nr))
+        return s8.reshape(nr, n_my, 2, n_mx, 2, D, D).sum((2, 4))
+
+    g0 = ssd16_of(banks0)
+    g1 = ssd16_of(banks1)
+
+    # PMV field from list0 best (zero-biased)
+    dgrid = jnp.arange(-R, R + 1) * 4
+    zb = _mv_bits(dgrid)[None, :] + _mv_bits(dgrid)[:, None]
+    c0 = g0[0] + ((lam_me * zb) >> 16)
+    bi0 = jnp.argmin(c0.reshape(n_my, n_mx, -1), axis=-1)
+    pm_x = (bi0 % D - R) * 4
+    pm_y = (bi0 // D - R) * 4
+
+    def med_neighbors(f):
+        a = jnp.pad(f, ((0, 0), (1, 0)))[:, :-1]
+        b = jnp.pad(f, ((1, 0), (0, 0)))[:-1, :]
+        c = jnp.pad(f, ((1, 0), (0, 1)))[:-1, 1:]
+        return _med3(a, b, c)
+
+    pmvx = med_neighbors(pm_x)
+    pmvy = med_neighbors(pm_y)
+    bits_x = _mv_bits(dgrid[None, None, :] - pmvx[..., None])
+    bits_y = _mv_bits(dgrid[None, None, :] - pmvy[..., None])
+    mvbits = bits_x[:, :, None, :] + bits_y[:, :, :, None]
+
+    def argmin16(grids):
+        nr = grids.shape[0]
+        rb = np.array([1 if r == 0 else 2 * int(r + 1).bit_length() - 1
+                       for r in range(nr)], np.int32)
+        if nr == 1:
+            rb[:] = 0
+        cost = grids + ((lam_me * mvbits) >> 16)[None]
+        cost = cost + ((lam_me * jnp.asarray(rb)) >> 16)[
+            :, None, None, None, None]
+        flat = cost.reshape(nr, n_my, n_mx, -1)
+        per_ref = jnp.min(flat, axis=-1)
+        per_ref_i = jnp.argmin(flat, axis=-1)
+        ref = jnp.argmin(per_ref, axis=0)
+        idx = jnp.take_along_axis(per_ref_i, ref[None], axis=0)[0]
+        return (ref.astype(jnp.int32),
+                (idx % D - R).astype(jnp.int32),
+                (idx // D - R).astype(jnp.int32))
+
+    a0 = argmin16(g0)
+    a1 = argmin16(g1)
+
+    mb_ys = (jnp.arange(n_mb) // n_mx) * 16
+    mb_xs = (jnp.arange(n_mb) % n_mx) * 16
+    pmvx_f = pmvx.reshape(-1)
+    pmvy_f = pmvy.reshape(-1)
+    offs = jnp.asarray(_REFINE)
+
+    def refine16(banks, ref, imvx, imvy, i):
+        y0, x0 = mb_ys[i], mb_xs[i]
+        orig = jax.lax.dynamic_slice(cur_y, (y0, x0), (16, 16))
+        iy = y0 + imvy + PAD - 1
+        ix = x0 + imvx + PAD - 1
+        wins = jax.lax.dynamic_slice(
+            banks, (ref, 0, iy, ix), (1, 4, 19, 19))[0]
+        preds, costs = [], []
+        for (ox, oy) in _REFINE:
+            dx, dy = int(ox) & 3, int(oy) & 3
+            sx, sy = (int(ox) >> 2) + 1, (int(oy) >> 2) + 1
+            t = _QTAB[dy * 4 + dx]
+            a = wins[t[0], sy + t[1]: sy + t[1] + 16,
+                     sx + t[2]: sx + t[2] + 16]
+            b = wins[t[3], sy + t[4]: sy + t[4] + 16,
+                     sx + t[5]: sx + t[5] + 16]
+            pred = (a + b + 1) >> 1
+            d = orig - pred
+            rate = _mv_bits(imvx * 4 + ox - pmvx_f[i]) + _mv_bits(
+                imvy * 4 + oy - pmvy_f[i])
+            preds.append(pred)
+            costs.append((d * d).sum() + ((lam_me * rate) >> 16))
+        k = jnp.argmin(jnp.stack(costs))
+        return (imvx * 4 + offs[k, 0], imvy * 4 + offs[k, 1],
+                jnp.stack(preds)[k])
+
+    def refine_list(banks, am):
+        ref, ix, iy = am
+        f = jax.vmap(lambda i: refine16(
+            banks, ref.reshape(-1)[i], ix.reshape(-1)[i],
+            iy.reshape(-1)[i], i))
+        return (ref.reshape(-1),) + tuple(f(jnp.arange(n_mb)))
+
+    ref0, mv0x, mv0y, pred0 = refine_list(banks0, a0)
+    ref1, mv1x, mv1y, pred1 = refine_list(banks1, a1)
+
+    # ---- temporal direct derivation per 8x8 (spec §8.4.1.2.3) -----------
+    b8oy = (0, 0, 8, 8)
+    b8ox = (0, 8, 0, 8)
+    # corner 4x4 per quadrant (direct_8x8_inference)
+    cidx = jnp.arange(n_mb)
+    y4o = (cidx // n_mx) * 4
+    x4o = (cidx % n_mx) * 4
+
+    def direct_b8(i, b8):
+        cy = 0 if b8oy[b8] == 0 else 3
+        cx = 0 if b8ox[b8] == 0 else 3
+        ry = y4o[i] + cy
+        rx = x4o[i] + cx
+        col_i = col_intra4[ry, rx]
+        rid = col_ref4[ry, rx]
+        mcx = jnp.where(col_i, 0, col_mvx4[ry, rx])
+        mcy = jnp.where(col_i, 0, col_mvy4[ry, rx])
+        idx = jnp.where(col_i, 0, rid).astype(jnp.int32)
+        dsf = dsf_tab[idx]
+        eq = eq_tab[idx] | col_i
+        l0x = jnp.where(eq, mcx, (dsf * mcx + 128) >> 8)
+        l0y = jnp.where(eq, mcy, (dsf * mcy + 128) >> 8)
+        l1x = jnp.where(eq, 0, l0x - mcx)
+        l1y = jnp.where(eq, 0, l0y - mcy)
+        return idx, l0x, l0y, l1x, l1y
+
+    def direct_mb(i):
+        parts = [direct_b8(i, b8) for b8 in range(4)]
+        idx = jnp.stack([p[0] for p in parts])
+        l0x = jnp.stack([p[1] for p in parts])
+        l0y = jnp.stack([p[2] for p in parts])
+        l1x = jnp.stack([p[3] for p in parts])
+        l1y = jnp.stack([p[4] for p in parts])
+        blocks = []
+        for b8 in range(4):
+            p0 = _dynfrac_mc(banks0, idx[b8], l0x[b8], l0y[b8],
+                             mb_ys[i] + b8oy[b8], mb_xs[i] + b8ox[b8], 8, 8)
+            p1 = _dynfrac_mc(banks1, jnp.int32(0), l1x[b8], l1y[b8],
+                             mb_ys[i] + b8oy[b8], mb_xs[i] + b8ox[b8], 8, 8)
+            blocks.append((p0 + p1 + 1) >> 1)
+        top = jnp.concatenate(blocks[:2], axis=1)
+        bot = jnp.concatenate(blocks[2:], axis=1)
+        return jnp.concatenate([top, bot], axis=0), idx, l0x, l0y, l1x, l1y
+
+    (pred_dir, dir_idx, dir_l0x, dir_l0y, dir_l1x, dir_l1y) = jax.vmap(
+        direct_mb)(jnp.arange(n_mb))
+
+    pred_bi = (pred0 + pred1 + 1) >> 1
+    orig_mb = (cur_y.reshape(n_my, 16, n_mx, 16).transpose(0, 2, 1, 3)
+               .reshape(n_mb, 16, 16))
+    preds = jnp.stack([pred_dir, pred0, pred1, pred_bi])  # cands 0..3
+
+    off_inter = jnp.int32(Q.default_offset4(qp, False))
+
+    def tq_recon(pred, orig):
+        res = orig - pred
+        blk = res.reshape(*res.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
+        co = TR.forward4x4(blk)
+        lev = Q.quant4x4(co, qp, off_inter)
+        deq = Q.dequant4x4(lev, qp)
+        rr = TR.inverse4x4(deq.astype(jnp.int32))
+        pb = pred.reshape(*pred.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
+        rec_b = ((rr + (pb << 6) + 32) >> 6).clip(0, 255)
+        rec = rec_b.swapaxes(-3, -2).reshape(*pred.shape)
+        d = orig - rec
+        return lev, rec, (d * d).sum((-1, -2)), _coef_bits(lev).sum((-1, -2))
+
+    lev_i, rec_i, D_i, cb_i = tq_recon(preds, orig_mb[None])
+    # rates: mb_type ue + mvd (+ te ref for list0 when NR0 > 1)
+    mvb0 = _mv_bits(mv0x - pmvx_f) + _mv_bits(mv0y - pmvy_f)
+    mvb1 = _mv_bits(mv1x - pmvx_f) + _mv_bits(mv1y - pmvy_f)
+    refb0 = jnp.where(jnp.int32(NR0 > 1),
+                      jnp.where(ref0 == 0, 1, 2 * _bitlen(ref0 + 1) - 1), 0)
+    R_c = jnp.stack([
+        jnp.full((n_mb,), 1, jnp.int32),
+        3 + mvb0 + refb0,
+        3 + mvb1,
+        5 + mvb0 + refb0 + mvb1,
+    ])
+    J_inter = D_i + ((lam * (R_c + cb_i)) >> 16)
+    # direct-zero (B skip) candidate
+    rec_dz = pred_dir.clip(0, 255)
+    ddz = orig_mb - rec_dz
+    J_dz = (ddz * ddz).sum((-1, -2))
+
+    # I16
+    up_rows = jnp.pad(cur_y, ((1, 0), (0, 0)))[:-1]
+    up_mb = up_rows[::16][:n_my].reshape(n_my, n_mx, 16)
+    left_cols = jnp.pad(cur_y, ((0, 0), (1, 0)))[:, :-1]
+    left_mb = (left_cols[:, ::16][:, :n_mx].reshape(n_my, 16, n_mx)
+               .transpose(0, 2, 1))
+    ul = jnp.pad(cur_y, ((1, 0), (1, 0)))[:-1, :-1][::16, ::16]
+    col = jnp.arange(n_mx)[None, :].repeat(n_my, 0)
+    row = jnp.arange(n_my)[:, None].repeat(n_mx, 1)
+    au = (row > 0).reshape(-1)
+    al = (col > 0).reshape(-1)
+    i16p, i16m, _ = _i16_pred_all(up_mb.reshape(n_mb, 16),
+                                  left_mb.reshape(n_mb, 16),
+                                  ul.reshape(n_mb), au, al, orig_mb)
+    lev16, dc16, rec16, D_16, cb16 = _i16_tq(i16p, orig_mb, qp)
+    J_i16 = D_16 + ((lam * (cb16 + 11)) >> 16)
+
+    # winner: order [DIRECT, L0, L1, BI, I16, DIRECT_ZERO]
+    J_all = jnp.concatenate([J_inter, J_i16[None], J_dz[None]], 0)
+    win6 = jnp.argmin(J_all, axis=0).astype(jnp.int32)
+    win = jnp.where(win6 == 5, B_DIRECT_ZERO,
+                    jnp.where(win6 == 4, B_I16, win6))
+    is_intra = win == B_I16
+    is_dz = win == B_DIRECT_ZERO
+    win_i = jnp.where(is_dz, 0, jnp.minimum(win6, 3))
+    take = lambda arr, w: jnp.take_along_axis(
+        arr, w.reshape((1, n_mb) + (1,) * (arr.ndim - 2)), axis=0)[0]
+    w_lev = take(lev_i, win_i)
+    w_lev = jnp.where(is_dz[:, None, None, None, None], 0, w_lev)
+    w_rec = take(rec_i, win_i)
+    w_rec = jnp.where(is_dz[:, None, None], rec_dz, w_rec)
+
+    # per-8x8 two-list winner motion
+    use0 = ((win == B_DIRECT) | (win == B_L0) | (win == B_BI)
+            | is_dz)
+    use1 = ((win == B_DIRECT) | (win == B_L1) | (win == B_BI)
+            | is_dz)
+    isdir = (win == B_DIRECT) | is_dz
+    w_idx0 = jnp.where(isdir[:, None], dir_idx,
+                       jnp.where(use0[:, None], ref0[:, None], 0))
+    w_m0x = jnp.where(isdir[:, None], dir_l0x,
+                      jnp.where(use0[:, None], mv0x[:, None], 0))
+    w_m0y = jnp.where(isdir[:, None], dir_l0y,
+                      jnp.where(use0[:, None], mv0y[:, None], 0))
+    w_m1x = jnp.where(isdir[:, None], dir_l1x,
+                      jnp.where(use1[:, None], mv1x[:, None], 0))
+    w_m1y = jnp.where(isdir[:, None], dir_l1y,
+                      jnp.where(use1[:, None], mv1y[:, None], 0))
+    u0_8 = jnp.repeat(use0[:, None] & ~is_intra[:, None], 4, 1)
+    u1_8 = jnp.repeat(use1[:, None] & ~is_intra[:, None], 4, 1)
+
+    # ---- chroma ---------------------------------------------------------
+    def chroma_pred_mb(i):
+        blocks = []
+        for b8 in range(4):
+            yc = (mb_ys[i] >> 1) + (b8oy[b8] >> 1)
+            xc = (mb_xs[i] >> 1) + (b8ox[b8] >> 1)
+            c0p = _mc_chroma_unit(cpads0, w_idx0[i, b8], w_m0x[i, b8],
+                                  w_m0y[i, b8], yc, xc, 4, 4)
+            c1p = _mc_chroma_unit(cpads1, jnp.int32(0), w_m1x[i, b8],
+                                  w_m1y[i, b8], yc, xc, 4, 4)
+            both = u0_8[i, b8] & u1_8[i, b8]
+            c = jnp.where(both, (c0p + c1p + 1) >> 1,
+                          jnp.where(u0_8[i, b8], c0p, c1p))
+            blocks.append(c)
+        top = jnp.concatenate(blocks[:2], axis=2)
+        bot = jnp.concatenate(blocks[2:], axis=2)
+        return jnp.concatenate([top, bot], axis=1)
+
+    pred_c_mb = jax.vmap(chroma_pred_mb)(jnp.arange(n_mb))
+    orig_c = jnp.stack([cur_u, cur_v]).reshape(
+        2, n_my, 8, n_mx, 8).transpose(1, 3, 0, 2, 4).reshape(n_mb, 2, 8, 8)
+    levc, dcc, recc, _ = _chroma_tq(pred_c_mb, orig_c, qp_c, intra=False)
+    levc = jnp.where(is_dz[:, None, None, None, None, None], 0, levc)
+    dcc = jnp.where(is_dz[:, None, None, None], 0, dcc)
+    recc = jnp.where(is_dz[:, None, None, None],
+                     pred_c_mb.clip(0, 255), recc)
+
+    # ---- intra commit + deblock ------------------------------------------
+    (rec_y, rec_u, rec_v, w_lev, lum_dc, i16mode, cip,
+     levc, dcc) = _intra_commit_scan(
+        cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
+        levc, dcc, H, W, qp, qp_c)
+
+    nz4 = (w_lev != 0).any((-1, -2))
+    nz4 = nz4 | (is_intra[:, None, None] & (lum_dc != 0).any(
+        (-1, -2))[:, None, None])
+    nz4_pic = (nz4.reshape(n_my, n_mx, 4, 4).transpose(0, 2, 1, 3)
+               .reshape(4 * n_my, 4 * n_mx))
+
+    def to4(a8):
+        p = (a8.reshape(n_my, n_mx, 2, 2).transpose(0, 2, 1, 3)
+             .reshape(2 * n_my, 2 * n_mx))
+        return jnp.repeat(jnp.repeat(p, 2, 0), 2, 1)
+
+    intra4 = jnp.repeat(jnp.repeat(is_intra.reshape(n_my, n_mx), 4, 0), 4, 1)
+    v0_4 = to4(u0_8) & ~intra4
+    v1_4 = to4(u1_8) & ~intra4
+    r0_4 = pocs0[jnp.clip(to4(w_idx0), 0, NR0 - 1)]
+    r1_4 = jnp.broadcast_to(poc1, r0_4.shape)
+    BSV, BSH = strengths_full_b(
+        nz4_pic, intra4, v0_4, r0_4, to4(w_m0x), to4(w_m0y),
+        v1_4, r1_4, to4(w_m1x), to4(w_m1y))
+    dy_, du_, dv_ = deblock_device_full(
+        rec_y, rec_u, rec_v, BSV, BSH, qp, qp_c)
+
+    host_out = jnp.concatenate([
+        win.reshape(-1), w_idx0.reshape(-1),
+        w_m0x.reshape(-1), w_m0y.reshape(-1),
+        w_m1x.reshape(-1), w_m1y.reshape(-1),
+        i16mode.reshape(-1), cip.reshape(-1),
+        w_lev.reshape(-1), lum_dc.reshape(-1),
+        levc.reshape(-1), dcc.reshape(-1),
+    ])
+    return host_out, (dy_, du_, dv_)
+
+
+# ---------------------------------------------------------------------------
+# Tile-row parallel P encode: row groups as independent slices
+# (SURVEY.md §2.3 "tile-rows within frame across chips with halo exchange").
+#
+# Each group of MB rows is coded as its own slice with
+# disable_deblocking_filter_idc=2 (no filtering across slice edges), which
+# makes groups fully independent given the reference planes: intra
+# prediction, PMV/skip and deblocking all stop at the slice boundary by
+# construction when the group is encoded as a standalone sub-frame.  The
+# reference "halo" is the PAD-row margin of the plane bank (search range +
+# interpolation taps), so each group consumes only its slab of the bank.
+# ---------------------------------------------------------------------------
+
+def _row_slabs(banks, cpads, H: int, G: int):
+    """Per-group reference slabs: rows [g*Hg, g*Hg + Hg + 2*PAD) of the
+    padded planes — the tile-row halo."""
+    Hg = H // G
+    slabs = jnp.stack([
+        banks[:, :, g * Hg : g * Hg + Hg + 2 * PAD, :] for g in range(G)
+    ])
+    cslabs = jnp.stack([
+        cpads[:, :, g * (Hg // 2) : g * (Hg // 2) + Hg // 2 + 2 * PAD, :]
+        for g in range(G)
+    ])
+    return slabs, cslabs
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "H", "W", "R", "qp", "qp_c", "lam", "lam_me", "G"))
+def rd_p_rows_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
+                       H: int, W: int, R: int, qp: int, qp_c: int,
+                       lam: int, lam_me: int, G: int):
+    """G row-group slices of one P frame, each through the full RD
+    pipeline on its reference slab; recon and the next reference entry are
+    reassembled full-frame.  Output host buffers are per group."""
+    Hg = H // G
+    subY = cur_y8.reshape(G, Hg, W)
+    subU = cur_u8.reshape(G, Hg // 2, W // 2)
+    subV = cur_v8.reshape(G, Hg // 2, W // 2)
+    slabs, cslabs = _row_slabs(banks, cpads, H, G)
+
+    outs = jax.vmap(
+        lambda cy, cu, cv, bk, cp: rd_p_pipeline(
+            cy, cu, cv, bk, cp, H=Hg, W=W, R=R, qp=qp, qp_c=qp_c,
+            lam=lam, lam_me=lam_me)
+    )(subY, subU, subV, slabs, cslabs)
+    host_outs, recons, entries = outs
+    Yf = recons[0].reshape(H, W)
+    Uf = recons[1].reshape(H // 2, W // 2)
+    Vf = recons[2].reshape(H // 2, W // 2)
+    # full-frame next-ref entry (half-pel planes must span group edges)
+    Ypad = jnp.pad(Yf, PAD, mode="edge")
+    new_bank = _bank_from_pad(Ypad)
+    new_cpad = jnp.stack([
+        jnp.pad(Uf, PAD, mode="edge"), jnp.pad(Vf, PAD, mode="edge")])
+    col = tuple(c.reshape(-1, c.shape[-1]) for c in entries[2])
+    return host_outs, (Yf, Uf, Vf), (new_bank, new_cpad, col)
+
+
+def rd_p_rows_sharded(mesh, H: int, W: int, R: int, qp: int, qp_c: int,
+                      lam: int, G: int):
+    """shard_map'd tile-row step over a (frame, row) mesh.
+
+    Returns a jitted fn(cur_y (F,H,W) u8, cur_u, cur_v, banks (F,NR,4,..),
+    cpads) -> (host_outs (F,G,L), recon planes, next entries); frames shard
+    over `frame`, row groups over `row`, reference banks are replicated
+    along `row` (the full-gather form of the halo exchange)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+    from jax.experimental.shard_map import shard_map
+
+    n_row = mesh.shape["row"]
+    assert G % n_row == 0
+    Hg = H // G
+
+    def local_step(cy, cu, cv, banks, cpads):
+        # cy: (Fl, Gl, Hg, W); banks: (Fl, NR, 4, Hp, Wp)
+        Gl = cy.shape[1]
+        r_idx = jax.lax.axis_index("row")
+        g00 = r_idx * Gl  # first global group of this shard
+
+        def per_frame(cyf, cuf, cvf, bk, cp):
+            def per_group(gl, args):
+                cyg, cug, cvg = args
+                y0 = (g00 + gl) * Hg
+                slab = jax.lax.dynamic_slice(
+                    bk, (0, 0, y0, 0),
+                    (bk.shape[0], 4, Hg + 2 * PAD, bk.shape[3]))
+                cslab = jax.lax.dynamic_slice(
+                    cp, (0, 0, y0 // 2, 0),
+                    (cp.shape[0], 2, Hg // 2 + 2 * PAD, cp.shape[3]))
+                return rd_p_pipeline(
+                    cyg, cug, cvg, slab, cslab, H=Hg, W=W, R=R, qp=qp,
+                    qp_c=qp_c, lam=lam, lam_me=lam)
+            outs = jax.vmap(per_group, in_axes=(0, 0))(
+                jnp.arange(Gl), (cyf, cuf, cvf))
+            return outs
+        outs = jax.vmap(per_frame)(cy, cu, cv, banks, cpads)
+        host_outs, recons, entries = outs
+        return host_outs, recons
+
+    fspec = NamedSharding(mesh, Pspec("frame", "row"))
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(Pspec("frame", "row"), Pspec("frame", "row"),
+                  Pspec("frame", "row"), Pspec("frame"), Pspec("frame")),
+        out_specs=((Pspec("frame", "row")),
+                   (Pspec("frame", "row"), Pspec("frame", "row"),
+                    Pspec("frame", "row"))),
+        check_rep=False,  # lax.cond branches mix varying/invariant consts
+    )
+    return jax.jit(step)

@@ -110,3 +110,91 @@ def test_rd_jm_roundtrip_multiref():
     got = jm_decode(stream)
     want = pack_yuv420([(r[0], r[1], r[2]) for r in recs])
     assert got == want, "ldecod output != encoder recon (rd multi-ref)"
+
+
+@pytest.mark.parametrize("nref", [1])
+def test_rd_b_self_roundtrip(nref):
+    """Device B pipeline (temporal direct): our decode == encoder recon."""
+    frames = _foreman(5)
+    enc = H264Encoder(
+        EncoderConfig(width=W, height=H, qp=28, fast=True, rd=True,
+                      b_frames=1, num_ref_frames=nref, search_range=16,
+                      entropy="cabac"))
+    nalus = enc.headers()
+    recs = {}
+    for out in enc.encode_stream(frames):
+        nalus.extend(out)
+        for poc, pl in enc.all_recons:
+            recs.setdefault(poc, pl)
+        for e in enc.recon_pics:
+            recs.setdefault(e[0], e[1])
+    stream = write_annexb(nalus)
+    pics = decode_annexb(stream)
+    assert len(pics) == len(frames)
+    assert [p.poc for p in pics] == sorted(recs)
+    n_b = 0
+    for p in pics:
+        r = recs[p.poc]
+        if p.slice_type.name == "B":
+            n_b += 1
+        for name, a, b in (("Y", p.planes.Y, r.Y), ("U", p.planes.U, r.U),
+                           ("V", p.planes.V, r.V)):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (
+                f"poc {p.poc} plane {name}: decode != encoder recon"
+            )
+    assert n_b >= 2
+
+
+def test_rows_sharded_bitexact():
+    """Tile-row sharded step == single-device row pipeline, bit-exact."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from h264_tpu.encoder import rd as RD
+
+    devs = jax.devices()
+    assert len(devs) >= 4, "conftest provides an 8-device CPU mesh"
+    mesh = Mesh(np.array(devs[:4], dtype=object).reshape(2, 2),
+                ("frame", "row"))
+    Hh, Ww, NR, G, F = 64, 64, 1, 2, 2
+    lam = int(0.85 * 2.0 ** ((28 - 12) / 3.0) * 65536)
+    rng = np.random.default_rng(7)
+    cy = jnp.asarray(rng.integers(0, 256, (F, Hh, Ww)), jnp.uint8)
+    cu = jnp.asarray(rng.integers(0, 256, (F, Hh // 2, Ww // 2)), jnp.uint8)
+    cv = jnp.asarray(rng.integers(0, 256, (F, Hh // 2, Ww // 2)), jnp.uint8)
+    banks, cpads = [], []
+    for f in range(F):
+        bank, cpad = RD.ref_entry_from_planes(
+            jnp.asarray(rng.integers(0, 256, (Hh, Ww)), jnp.int32),
+            jnp.asarray(rng.integers(0, 256, (Hh // 2, Ww // 2)), jnp.int32),
+            jnp.asarray(rng.integers(0, 256, (Hh // 2, Ww // 2)), jnp.int32))
+        banks.append(jnp.stack([bank] * NR))
+        cpads.append(jnp.stack([cpad] * NR))
+    banks = jnp.stack(banks)
+    cpads = jnp.stack(cpads)
+
+    # single-device reference
+    ref_outs = []
+    for f in range(F):
+        ho, rec, _ = RD.rd_p_rows_pipeline(
+            cy[f], cu[f], cv[f], banks[f], cpads[f], H=Hh, W=Ww, R=8,
+            qp=28, qp_c=26, lam=lam, lam_me=lam, G=G)
+        ref_outs.append((np.asarray(ho), np.asarray(rec[0])))
+
+    Hg = Hh // G
+    fspec = NamedSharding(mesh, P("frame", "row"))
+    rspec = NamedSharding(mesh, P("frame"))
+    cyg = jax.device_put(cy.reshape(F, G, Hg, Ww), fspec)
+    cug = jax.device_put(cu.reshape(F, G, Hg // 2, Ww // 2), fspec)
+    cvg = jax.device_put(cv.reshape(F, G, Hg // 2, Ww // 2), fspec)
+    banks_s = jax.device_put(banks, rspec)
+    cpads_s = jax.device_put(cpads, rspec)
+    step = RD.rd_p_rows_sharded(mesh, H=Hh, W=Ww, R=8, qp=28, qp_c=26,
+                                lam=lam, G=G)
+    host_outs, recons = step(cyg, cug, cvg, banks_s, cpads_s)
+    host_outs = np.asarray(host_outs)
+    rec_y = np.asarray(recons[0]).reshape(F, Hh, Ww)
+    for f in range(F):
+        assert np.array_equal(host_outs[f], ref_outs[f][0]), "host buffers"
+        assert np.array_equal(rec_y[f], ref_outs[f][1]), "recon planes"
