@@ -59,7 +59,11 @@ class DecodedPicture:
 class H264Decoder:
     """Decodes an Annex-B stream; yields pictures in decode order."""
 
-    def __init__(self):
+    def __init__(self, conceal_mode: int = 0):
+        """conceal_mode: 0 = strict (parse errors propagate), 1 = frame
+        copy, 2 = motion copy (ldecod decoder.cfg ConcealMode;
+        erc_do_p.c:1260 conceal_lost_frames).  Modes 1/2 also enable
+        slice-loss concealment (erc_do_i.c / erc_do_p.c)."""
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
         self.prev_poc_msb = 0
@@ -67,6 +71,8 @@ class H264Decoder:
         self.prev_frame_num = 0
         self.prev_frame_num_offset = 0
         self.dpb: DPB | None = None
+        self.conceal_mode = conceal_mode
+        self.poc_gap = 2
 
     # -- POC (spec §8.2.1, types 0 and 2) ---------------------------------
     def _compute_poc(self, sh: SliceHeader, sps: SPS) -> int:
@@ -154,6 +160,12 @@ class H264Decoder:
                 if is_new and pending is not None:
                     yield self._finish_picture(pending)
                     pending = None
+                if (
+                    is_new and self.conceal_mode and not sh.is_idr
+                    and sh.nal_ref_idc
+                    and self.dpb.short_term_refs()
+                ):
+                    yield from self._conceal_frame_gap(sh, sps)
                 self.prev_frame_num = sh.frame_num
                 if pending is None:
                     if sh.is_idr:
@@ -172,6 +184,46 @@ class H264Decoder:
                 self._parse_slice(pending, nalu.rbsp, sh, sps, pps)
         if pending is not None:
             yield self._finish_picture(pending)
+
+    def _conceal_frame_gap(self, sh: SliceHeader, sps: SPS):
+        """Insert concealed reference frames for frame_num gaps
+        (erc_do_p.c:1260 conceal_lost_frames; mbuffer.c:3426 gap fill)."""
+        from .erc import conceal_lost_frame
+
+        max_fn = sps.max_frame_num
+        expected = (self.prev_frame_num + 1) % max_fn
+        if sh.frame_num in (self.prev_frame_num, expected):
+            return
+        fn = expected
+        while fn != sh.frame_num:
+            refs = sorted(
+                self.dpb.short_term_refs(), key=lambda p: -p.poc
+            )
+            if not refs:
+                break
+            src = refs[0]
+            planes = conceal_lost_frame(sps, src, self.conceal_mode)
+            st = PictureParseState(sps.pic_width_in_mbs,
+                                   sps.frame_height_in_mbs)
+            st.slice_id[:] = 0
+            st.mv[0] = np.asarray(src.state.mv[0])
+            st.ref_idx[0] = np.asarray(src.state.ref_idx[0])
+            pic = DecodedPicture(
+                poc=src.poc + self.poc_gap,
+                frame_num=fn,
+                planes=planes,
+                state=st,
+                is_ref=True,
+                is_idr=False,
+                slice_type=SliceType.P,
+            )
+            pic.concealed = True
+            self.dpb.update_pic_nums(fn, max_fn)
+            self.dpb.store(pic, None)
+            self.prev_poc_lsb = pic.poc % sps.max_pic_order_cnt_lsb \
+                if sps.pic_order_cnt_type == 0 else self.prev_poc_lsb
+            yield pic
+            fn = (fn + 1) % max_fn
 
     def _is_new_picture(self, pending, sh: SliceHeader, poc: int) -> bool:
         sh0: SliceHeader = pending["sh0"]
@@ -198,7 +250,26 @@ class H264Decoder:
             sg_map = mb_to_slice_group(sps, pps, sh.slice_group_change_cycle)
             nxt = next_mb_array(sg_map)
             parser.next_addr = lambda a: int(nxt[a])
-        parser.parse()
+        try:
+            parser.parse()
+        except Exception:
+            if not self.conceal_mode:
+                raise
+            # drop the damaged slice: every MB it touched is re-marked
+            # missing and left to the concealment pass (the JM per-
+            # partition/segment drop, ldecod/src/image.c + erc_api.c)
+            bad = np.asarray(state.slice_id) == sid
+            state.slice_id[bad] = -1
+            state.mb_type[bad] = -1
+            state.is_intra[bad] = 0
+            state.skip_flag[bad] = 0
+            state.cbp[bad] = 0
+            bad4 = np.repeat(np.repeat(
+                bad.reshape(state.H, state.W), 4, 0), 4, 1)
+            state.ref_idx[:, bad4] = -1
+            state.mv[:, bad4] = 0
+            pending["lost"] = pending.get("lost", 0) + 1
+            return
         pending["slices"].append(sh)
 
     def _finish_picture(self, pending) -> DecodedPicture:
@@ -260,9 +331,26 @@ class H264Decoder:
         recon = PictureReconstructor(
             state, sps, pps, planes, slice_refs, slice_wp
         )
+        missing = np.asarray(state.slice_id) < 0
+        n_missing = int(missing.sum())
+        if n_missing:
+            state.lf_disable[missing] = 1  # JM order: filter, then conceal
         for addr in range(state.n_mbs):
+            if missing[addr]:
+                continue
             recon.recon_mb(addr)
         deblock_picture(state, sps, planes)
+        if n_missing:
+            from .erc import conceal_missing
+
+            refs = sorted(
+                self.dpb.short_term_refs() + self.dpb.long_term_refs(),
+                key=lambda p: abs(p.poc - poc),
+            )
+            conceal_missing(
+                state, sps, planes, refs[0] if refs else None,
+                sh0.slice_type == SliceType.I and not refs,
+            )
 
         pic = DecodedPicture(
             poc=poc,

@@ -49,7 +49,13 @@ class CavlcSliceWriter:
             self.trace.append(vals)
 
     # ------------------------------------------------------------------
-    def write_slice_data(self, w: BitWriter, mb_addrs: list[int]):
+    def write_slice_data(self, w: BitWriter, mb_addrs: list[int],
+                         wB: BitWriter | None = None,
+                         wC: BitWriter | None = None):
+        """Serialize the slice.  When wB/wC are given, slice data is split
+        into partitions: headers/motion/CBP/dquant -> w (partition A),
+        intra residual blocks -> wB, inter residual blocks -> wC
+        (spec §7.3.2.8-.10; lencod/src/header.c:41 assignSE2partition_DP)."""
         st = self.st
         is_pb = self.sh.slice_type in (SliceType.P, SliceType.SP, SliceType.B)
         whole_frame = (
@@ -60,6 +66,7 @@ class CavlcSliceWriter:
         )
         if (
             self.trace is None
+            and wB is None
             and whole_frame  # native writer assumes full-frame neighbors
             and self.sh.slice_type != SliceType.B
             and self._try_native(w, mb_addrs, is_pb)
@@ -73,12 +80,12 @@ class CavlcSliceWriter:
             if is_pb:
                 w.ue(skip_run)
                 skip_run = 0
-            self._write_mb(w, addr)
+            self._write_mb(w, addr, wB=wB, wC=wC)
         if is_pb and skip_run:
             w.ue(skip_run)
 
     # ------------------------------------------------------------------
-    def _write_mb(self, w: BitWriter, addr: int):
+    def _write_mb(self, w: BitWriter, addr: int, wB=None, wC=None):
         st = self.st
         mbt = int(st.mb_type[addr])
         is_p = self.sh.slice_type in (SliceType.P, SliceType.SP)
