@@ -41,6 +41,7 @@ from . import me as ME
 from .syntax_cavlc import CavlcSliceWriter
 from .syntax_cabac import CabacSliceWriter
 from . import fast as FAST
+from . import fills as FL
 from . import rd as RD
 
 _ZZ4 = M.ZZ_SCAN_4x4
@@ -613,69 +614,72 @@ class H264Encoder:
         cbp_blk = (nz4 * weights).sum(axis=(1, 2))
         dc_any = dc.any(axis=(1, 2)) & intra
         st.cbp_blk = (cbp_blk | dc_any).tolist()
-        # exact PMV/MVD + skip detection (raster; final neighbor state)
-        for addr in range(n_mb):
-            wv = int(win[addr])
-            if wv == RD.C_I16:
-                continue
-            x4, y4 = st.mb_block_origin(addr)
-            if wv in (RD.C_P16x16, RD.C_SKIP):
-                parts = [(0, 0, 4, 4, 0)]
-            elif wv == RD.C_P16x8:
-                parts = [(0, 0, 4, 2, 0), (0, 2, 4, 2, 2)]
-            elif wv == RD.C_P8x16:
-                parts = [(0, 0, 2, 4, 0), (2, 0, 2, 4, 1)]
-            else:
-                parts = [((b8 & 1) * 2, (b8 >> 1) * 2, 2, 2, b8)
-                         for b8 in range(4)]
-            if wv in (RD.C_P16x16, RD.C_SKIP) and int(st.cbp[addr]) == 0 \
-                    and int(st.ref_idx[0, y4, x4]) == 0:
-                mv = (int(st.mv[0, y4, x4, 0]), int(st.mv[0, y4, x4, 1]))
-                if tuple(_pskip_mv(st, addr)) == mv:
-                    st.skip_flag[addr] = 1
-                    st.mb_type[addr] = M.PSKIP
-                    st.b8mode[addr] = 0
-                    continue
-            for (bx, by, w4, h4, _b8) in parts:
-                ref = int(st.ref_idx[0, y4 + by, x4 + bx])
-                p = predict_mv(st, addr, 0, ref, bx, by, w4, h4)
-                mv = (int(st.mv[0, y4 + by, x4 + bx, 0]),
-                      int(st.mv[0, y4 + by, x4 + bx, 1]))
-                st.mvd[0, y4 + by : y4 + by + h4, x4 + bx : x4 + bx + w4] = (
-                    mv[0] - p[0], mv[1] - p[1]
-                )
+        # exact PMV/MVD + skip detection (whole-frame vectorized; legal
+        # because every neighbor MV above is final device output)
+        FL.fill_p_mvd_skip(st, win, RD)
 
     # ------------------------------------------------------------------
     # B pictures on the device RD pipeline (temporal direct)
     # ------------------------------------------------------------------
     def _encode_stream_b_rd(self, frames):
         """Decode-order emission I (B^n P)* with device anchors and
-        device B pictures (temporal direct).  Mirrors _encode_stream_b."""
+        device B pictures (temporal direct).
+
+        Pipelined: device steps for anchors and Bs are dispatched up to
+        `pipeline_depth` pictures ahead (reference state chains on
+        device), then the whole group's flat outputs come back in ONE
+        stacked d2h transfer — the tunnel's per-fetch latency is paid
+        once per group, not once per picture."""
         nb = self.cfg.b_frames
         idr_p = self.cfg.idr_period
-        pend: list = []
+        depth = max(2, self.cfg.pipeline_depth)
+        pend_src: list = []  # buffered display frames awaiting their anchor
+        pend_dev: list = []  # dispatched pictures, decode order
         base = 0
+
+        def drain():
+            if not pend_dev:
+                return
+            if len(pend_dev) == 1:
+                tag, p = pend_dev[0]
+                yield (self._finish_p_rd(p) if tag == "p"
+                       else self._finish_b_rd(p))
+            else:
+                flats = [p[1] for _, p in pend_dev]
+                rows = RD.fetch_group(flats)
+                for (tag, p), row, f in zip(pend_dev, rows, flats):
+                    row = row[: f.shape[0]]
+                    if tag == "p":
+                        yield self._finish_p_rd(p, fetched=row)
+                    else:
+                        yield self._finish_b_rd(p, fetched=row)
+            pend_dev.clear()
+
         for idx, yuv in enumerate(frames):
             is_idr = idx == 0 or (idr_p and idx % idr_p == 0)
             if is_idr:
-                for b_yuv, b_idx in pend:  # close the GOP with P pictures
-                    yield self._finish_p_rd(
-                        self._start_p_rd(b_yuv, poc=2 * (b_idx - base)))
-                pend = []
+                for b_yuv, b_idx in pend_src:  # close the GOP with P
+                    pend_dev.append(
+                        ("p", self._start_p_rd(b_yuv, poc=2 * (b_idx - base))))
+                pend_src = []
                 base = idx
+                yield from drain()
                 yield self._encode_picture(yuv, SliceType.I, True, 0)
-            elif len(pend) < nb:
-                pend.append((yuv, idx))
+            elif len(pend_src) < nb:
+                pend_src.append((yuv, idx))
             else:
-                yield self._finish_p_rd(
-                    self._start_p_rd(yuv, poc=2 * (idx - base)))
-                for b_yuv, b_idx in pend:
-                    yield self._finish_b_rd(
-                        self._start_b_rd(b_yuv, 2 * (b_idx - base)))
-                pend = []
-        for b_yuv, b_idx in pend:
-            yield self._finish_p_rd(
-                self._start_p_rd(b_yuv, poc=2 * (b_idx - base)))
+                pend_dev.append(
+                    ("p", self._start_p_rd(yuv, poc=2 * (idx - base))))
+                for b_yuv, b_idx in pend_src:
+                    pend_dev.append(
+                        ("b", self._start_b_rd(b_yuv, 2 * (b_idx - base))))
+                pend_src = []
+                if len(pend_dev) >= depth:
+                    yield from drain()
+        for b_yuv, b_idx in pend_src:
+            pend_dev.append(
+                ("p", self._start_p_rd(b_yuv, poc=2 * (b_idx - base))))
+        yield from drain()
 
     def _start_b_rd(self, yuv, poc: int):
         import jax.numpy as jnp
@@ -727,10 +731,12 @@ class H264Encoder:
             H=H, W=W, R=min(cfg.search_range, 16), qp=qp, qp_c=qp_c,
             lam=lam, lam_me=lam,
         )
-        return (host_out, recon, poc, pocs0, poc1, qp)
+        # decode-order frame_num captured at dispatch (non-ref B =
+        # frame_num of its anchor + 1, which _start_p_rd just set)
+        return ("b", host_out, recon, poc, pocs0, poc1, qp, self.frame_num)
 
-    def _finish_b_rd(self, pending) -> list[NalUnit]:
-        host_out, recon, poc, pocs0, poc1, qp = pending
+    def _finish_b_rd(self, pending, fetched=None) -> list[NalUnit]:
+        _, host_out, recon, poc, pocs0, poc1, qp, frame_num = pending
         cfg, sps, pps = self.cfg, self.sps, self.pps
         W, H = sps.pic_width_in_mbs, sps.frame_height_in_mbs
         n_mb = W * H
@@ -741,7 +747,8 @@ class H264Encoder:
         cb_off, cr_off = pps.chroma_qp_offset
         st.qpc[:, 0] = chroma_qp(qp, cb_off)
         st.qpc[:, 1] = chroma_qp(qp, cr_off)
-        fetched = np.asarray(host_out)
+        if fetched is None:
+            fetched = np.asarray(host_out)
         sizes = [n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb,
                  n_mb, n_mb, 256 * n_mb, 16 * n_mb, 128 * n_mb, 8 * n_mb]
         parts = np.split(fetched, np.cumsum(sizes)[:-1])
@@ -763,7 +770,7 @@ class H264Encoder:
         nr0 = len(pocs0)
         sh = SliceHeader(
             slice_type_code=SliceType.B.value,
-            frame_num=self.frame_num % sps.max_frame_num,
+            frame_num=frame_num % sps.max_frame_num,
             is_idr=False,
             nal_ref_idc=0,
             pic_order_cnt_lsb=(
@@ -788,8 +795,6 @@ class H264Encoder:
 
     def _fill_b_state_rd(self, st, win, idx0, m0x, m0y, m1x, m1y, i16mode,
                          cip, lev, dc, levc, dcc, poc, pocs0, poc1):
-        from ..decoder.mv import _temporal_direct
-
         n_mb = st.n_mbs
         n_my, n_mx = st.H, st.W
         NONE = -(10 ** 9)
@@ -851,43 +856,20 @@ class H264Encoder:
         st.ref_idx[1] = np.where(u1_4, 0, -1)
         st.ref_pic_id[1] = np.where(u1_4, poc1, NONE)
 
-        # temporal direct derivation for direct MBs (decoder semantics)
+        # temporal direct derivation for direct MBs (whole-frame; decoder
+        # semantics) + exact PMV/MVD for explicit MBs
         fut = next(e for e in self.recon_pics if e[0] == poc1)
         ast = fut[2]
-        info = {
-            "col": {
-                "poc": poc1,
-                "ref_idx0": ast.ref_idx[0], "ref_idx1": ast.ref_idx[1],
-                "ref_id0": ast.ref_pic_id[0], "ref_id1": ast.ref_pic_id[1],
-                "mv0": ast.mv[0], "mv1": ast.mv[1],
-            },
-            "cur_poc": poc,
-            "ref_ids": [list(pocs0), [poc1]],
-            "ref_lt": [[False] * 32, [False] * 32],
-            "direct_8x8_inference": bool(
-                self.sps.direct_8x8_inference_flag),
+        col = {
+            "ref_idx0": ast.ref_idx[0], "ref_idx1": ast.ref_idx[1],
+            "ref_id0": ast.ref_pic_id[0], "ref_id1": ast.ref_pic_id[1],
+            "mv0": ast.mv[0], "mv1": ast.mv[1],
         }
-        for addr in np.nonzero(direct)[0]:
-            _temporal_direct(st, int(addr), info)
-            if int(st.cbp[addr]) == 0:
-                st.skip_flag[addr] = 1
-        # exact PMV/MVD for explicit MBs (raster; final neighbor state)
-        for addr in range(n_mb):
-            wv = int(win[addr])
-            if wv not in (RD.B_L0, RD.B_L1, RD.B_BI):
-                continue
-            x4, y4 = st.mb_block_origin(addr)
-            for lst in (0, 1):
-                if lst == 0 and wv == RD.B_L1:
-                    continue
-                if lst == 1 and wv == RD.B_L0:
-                    continue
-                ref = int(st.ref_idx[lst, y4, x4])
-                p = predict_mv(st, addr, lst, ref, 0, 0, 4, 4)
-                mv = (int(st.mv[lst, y4, x4, 0]),
-                      int(st.mv[lst, y4, x4, 1]))
-                st.mvd[lst, y4 : y4 + 4, x4 : x4 + 4] = (
-                    mv[0] - p[0], mv[1] - p[1])
+        FL.fill_temporal_direct(
+            st, direct, col, poc, list(pocs0), poc1,
+            inference=bool(self.sps.direct_8x8_inference_flag))
+        st.skip_flag[direct & (st.cbp == 0)] = 1
+        FL.fill_b_explicit_mvd(st, use0, use1)
 
     def _start_p_fast(self, yuv):
         """Dispatch the device step for a fast-path P frame.

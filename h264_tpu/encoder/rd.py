@@ -1018,6 +1018,19 @@ def stack_outputs(flats):
     return jnp.stack(flats)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _stack_padded(flats, n: int):
+    return jnp.stack([jnp.pad(f, (0, n - f.shape[0])) for f in flats])
+
+
+def fetch_group(flats):
+    """One stacked d2h transfer for a group of flat device outputs of
+    mixed sizes (P vs B rows): the tunnel's per-fetch latency is paid
+    once per group.  Returns a (len(flats), max_len) numpy array."""
+    n = max(int(f.shape[0]) for f in flats)
+    return np.asarray(_stack_padded(tuple(flats), n))
+
+
 # ---------------------------------------------------------------------------
 # B pipeline (temporal direct; lencod/src/mv-search.c:1462 Get_Direct_
 # Motion_Vectors temporal branch re-shaped as a batched derivation)
