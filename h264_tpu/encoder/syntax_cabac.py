@@ -17,6 +17,7 @@ from ..entropy.cabac import tables as T
 from ..entropy.cabac.engine import ContextSet
 from ..entropy.cabac.enc_engine import CabacEncoder, RecordingCabac
 from ..native import cabac_encode_run
+from ..native import cabac_write_slice as native_cabac_write_slice
 from ..syntax.parsets import PPS, SPS
 from ..syntax.slice_header import SliceHeader, SliceType
 
@@ -62,6 +63,23 @@ class CabacSliceWriter:
     def write_slice_data(self, w: BitWriter, mb_addrs: list[int],
                          use_native: bool = True):
         w.cabac_zero_pad()  # cabac_alignment_one_bit
+        if use_native:
+            # fused native path: binarization + context adaptation +
+            # arithmetic automaton in one C pass over the state tensors
+            stype = {SliceType.P: 0, SliceType.SP: 0, SliceType.B: 1,
+                     SliceType.I: 2, SliceType.SI: 2}[self.slice_type]
+            payload = native_cabac_write_slice(
+                self.st, stype, self.qp,
+                self.sh.num_ref_idx_l0_active_minus1 + 1,
+                self.sh.num_ref_idx_l1_active_minus1 + 1,
+                self.pps.transform_8x8_mode_flag,
+                self.pps.constrained_intra_pred_flag,
+                self.sps.chroma_format_idc, mb_addrs,
+                self.ctx.states, self.ctx.mps,
+            )
+            if payload is not None:
+                w.append_bytes(payload)
+                return
         rec = RecordingCabac()
         self.enc = rec
         st = self.st

@@ -172,6 +172,96 @@ def deblock_run(Y, U, V, BSV, BSH, qp, qpc, lf_disable, lf_alpha, lf_beta,
     return True
 
 
+_cabac_tabs = None
+
+
+def _get_cabac_tabs():
+    """Flattened int32 residual-coding tables for the native writer."""
+    global _cabac_tabs
+    if _cabac_tabs is None:
+        import numpy as np
+
+        from ..decoder import mbtables as M
+        from ..entropy.cabac import tables as T
+
+        p2c_map = np.zeros((22, 64), np.int32)
+        p2c_last = np.zeros((22, 64), np.int32)
+        for t in range(22):
+            p2c_map[t, : len(T.POS2CTX_MAP[t])] = T.POS2CTX_MAP[t]
+            p2c_last[t, : len(T.POS2CTX_LAST[t])] = T.POS2CTX_LAST[t]
+        t2c = np.stack(
+            [T.TYPE2CTX_BCBP, T.TYPE2CTX_MAP, T.TYPE2CTX_LAST, T.TYPE2CTX_ONE,
+             T.TYPE2CTX_ABS, T.MAXPOS, T.C1ISDC, T.MAX_C2]
+        ).astype(np.int32)
+        zz4 = np.ascontiguousarray(
+            M.ZZ_SCAN_4x4[:, 1] * 4 + M.ZZ_SCAN_4x4[:, 0], np.int32
+        )
+        zz8 = np.ascontiguousarray(
+            M.ZZ_SCAN_8x8[:, 1] * 8 + M.ZZ_SCAN_8x8[:, 0], np.int32
+        )
+        _cabac_tabs = (
+            np.ascontiguousarray(p2c_map), np.ascontiguousarray(p2c_last),
+            np.ascontiguousarray(t2c), zz4, zz8,
+        )
+    return _cabac_tabs
+
+
+def cabac_write_slice(st, slice_type: int, init_qp: int, n_ref0: int,
+                      n_ref1: int, t8_mode: bool, constrained_intra: bool,
+                      chroma_format_idc: int, mb_addrs,
+                      states: bytearray, mps: bytearray):
+    """Native CABAC slice-data writer (binarize + arithmetic in one pass).
+
+    slice_type: 0=P, 1=B, 2=I.  Returns payload bytes, or None when the
+    native lib is unavailable or the state needs the Python oracle."""
+    lib = _load("cabac_writer")
+    if lib is None or chroma_format_idc not in (0, 1):
+        return None
+    import numpy as np
+
+    if not getattr(lib, "_writer_sigs", False):
+        lib.cabac_write_slice.restype = ctypes.c_long
+        lib._writer_sigs = True
+
+    def a(x, dtype=np.int32):
+        return np.ascontiguousarray(x, dtype)
+
+    def p(x):
+        return x.ctypes.data_as(ctypes.c_void_p)
+
+    tabs = _get_cabac_tabs()
+    mb_addrs = a(mb_addrs)
+    arrs = [
+        a(st.mb_type), a(st.skip_flag, np.uint8), a(st.cbp), a(st.qp),
+        a(st.c_ipred_mode), a(st.b8mode), a(st.b8pdir), a(st.i16mode),
+        a(st.is_intra, np.uint8), a(st.transform8x8, np.uint8),
+        a(st.slice_id), a(st.ipredmode, np.int8), a(st.ref_idx, np.int8),
+        a(st.mvd), a(st.luma_levels), a(st.luma8_levels), a(st.luma_dc),
+        a(st.chroma_dc), a(st.chroma_levels),
+    ]
+    cbp_bits = np.zeros(st.n_mbs, np.int64)
+    cap_bits = 8 * (1024 * len(mb_addrs) + 65536)
+    out = ctypes.create_string_buffer(cap_bits // 8)
+    st_buf = ctypes.create_string_buffer(bytes(states), len(states))
+    mps_buf = ctypes.create_string_buffer(bytes(mps), len(mps))
+    nbits = lib.cabac_write_slice(
+        st.W, st.H,
+        *(p(x) for x in arrs),
+        int(slice_type), int(init_qp), int(n_ref0), int(n_ref1),
+        int(t8_mode), int(constrained_intra), int(chroma_format_idc),
+        p(mb_addrs), len(mb_addrs),
+        *(p(x) for x in tabs),
+        ctypes.cast(st_buf, ctypes.c_char_p),
+        ctypes.cast(mps_buf, ctypes.c_char_p),
+        p(cbp_bits),
+        ctypes.cast(out, ctypes.c_char_p), ctypes.c_long(cap_bits),
+    )
+    if nbits < 0:
+        return None
+    assert nbits % 8 == 0, "CABAC payload must end byte-aligned"
+    return out.raw[: nbits // 8]
+
+
 def cabac_encode_run(kinds: bytes, ctx_idx, bins: bytes, states: bytearray,
                      mps: bytearray):
     """Run the serial CABAC automaton over a recorded bin stream.
