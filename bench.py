@@ -1,17 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark: CIF Main-profile encode throughput on the real device
-(driver contract: prints ONE JSON line {"metric", "value", "unit",
-"vs_baseline"}).
+"""Benchmark: CIF Main-profile encode throughput + BD-rate vs lencod.
 
-Measures steady-state encode fps at CIF (352x288) with the Main-profile
-toolset (CABAC + B pictures, temporal direct) on foreman content upsampled
-2x — the BASELINE.md target config.  Baseline denominator: lencod (JM
-12.4) with encoder_main.cfg at CIF/30 frames measured on this machine =
-0.44 fps (RDO on, FastFullSearch, 5 refs, search range 32; QP 28/28/30;
-PSNR-Y 38.98 dB @ 119.4 kb/s on the same content).
+Driver contract: prints ONE JSON line {"metric", "value", "unit",
+"vs_baseline"}.
+
+Content: `h264_tpu.tools.benchseq.make_sequence(100)` — a deterministic,
+NON-repeating 100-frame CIF sequence (camera pan/zoom over a mosaic
+world, independently moving foreground, film grain, terminal fade).
+The lencod baseline (JM 12.4, encoder_main.cfg: CABAC, 1 B, RDO,
+FastFullSearch, 5 refs, SR 32) was measured on the *identical* YUV at
+QP {24,28,32,36} by tools/gen_bench_ref.py -> tools/bench_ref.json:
+0.434 fps / 38.08 dB / 281.0 kbps at QP 28.
+
+Reported:
+  value        steady-state encode fps at QP 28 (after jit warmup)
+  vs_baseline  fps / lencod fps at QP 28
+  bd_rate_pct  Bjontegaard delta-rate over QP {24,28,32,36} vs the
+               lencod curve (negative = we need fewer bits at equal
+               PSNR-Y)
 """
 
 import json
+import pathlib
 import sys
 import time
 
@@ -23,81 +33,74 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from h264_tpu.encoder.encoder import EncoderConfig, H264Encoder
+from h264_tpu.tools.benchseq import bd_rate, make_sequence, psnr
 
-LENCOD_CIF_MAIN_FPS = 0.44  # measured on this machine (BASELINE.md)
-
-
-def load_frames_cif(n):
-    raw = open("/root/reference/bin/foreman_part_qcif.yuv", "rb").read()
-    W, H = 176, 144
-    frames = []
-    for i in range(3):
-        off = i * (W * H * 3 // 2)
-        Y = np.frombuffer(raw[off : off + W * H], np.uint8).reshape(H, W)
-        U = np.frombuffer(
-            raw[off + W * H : off + W * H * 5 // 4], np.uint8
-        ).reshape(H // 2, W // 2)
-        V = np.frombuffer(
-            raw[off + W * H * 5 // 4 : off + W * H * 3 // 2], np.uint8
-        ).reshape(H // 2, W // 2)
-        up = lambda p: np.repeat(np.repeat(p, 2, 0), 2, 1)
-        frames.append((up(Y), up(U), up(V)))
-    return [frames[i % 3] for i in range(n)]
+REF = json.loads(
+    (pathlib.Path(__file__).parent / "tools/bench_ref.json").read_text()
+)
+QPS = [p["qp"] for p in REF["points"]]
+MAIN_QP = 28
 
 
-def psnr(a, b):
-    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
-    mse = (d * d).mean()
-    return 99.0 if mse == 0 else 10 * np.log10(255.0 * 255.0 / mse)
-
-
-def main():
-    n_frames = 80
-    # the reference-list length grows 1->num_ref_frames over the first
-    # GOPs and each length is its own jit specialization: warm past all
-    # of them before timing
-    warmup = 14
-    frames = load_frames_cif(n_frames)
+def encode_once(frames, qp, timed=False):
+    """Encode the full sequence at one QP; return (fps, psnr_y, kbps)."""
     enc = H264Encoder(
         EncoderConfig(
-            width=352, height=288, qp=28, fast=True, b_frames=1,
+            width=352, height=288, qp=qp, fast=True, b_frames=1,
             entropy="cabac", num_ref_frames=3, search_range=16,
         )
     )
-    enc.headers()
-    bits = 0
-    n = 0
-    t0 = None
-    recs = {}
+    # ref-list length grows 1->num_ref_frames over the first GOPs; each
+    # length is its own jit specialization -> time only past warmup
+    warmup = 14
+    bits = 8 * sum(len(nl.rbsp) + 5 for nl in enc.headers())
+    n = t0 = 0
+    timed_n = 0
     for k, out in enumerate(enc.encode_stream(frames)):
-        for poc, pl in enc.all_recons:
-            recs.setdefault(poc, pl)
-        for e in enc.recon_pics:
-            recs.setdefault(e[0], e[1])
-        if k + 1 == warmup:
-            t0 = time.time()
-            continue
-        if k + 1 < warmup:
-            continue
         bits += sum(8 * (len(nl.rbsp) + 5) for nl in out)
         n += 1
-    dt = time.time() - t0
-    fps = n / dt
-    ys = [
-        psnr(recs[poc].Y, frames[i][0])
-        for i, poc in enumerate(sorted(recs))
-        if poc in recs
-    ]
+        if timed and k + 1 == warmup:
+            t0 = time.time()
+        elif timed and k + 1 > warmup:
+            timed_n += 1
+    fps = timed_n / (time.time() - t0) if timed else 0.0
+    recs = {}
+    for poc, pl in enc.all_recons:
+        recs.setdefault(poc, pl)
+    for e in enc.recon_pics:
+        recs.setdefault(e[0], e[1])
+    ys = [psnr(recs[poc].Y, frames[i][0]) for i, poc in enumerate(sorted(recs))]
+    return fps, float(np.mean(ys)), bits * 30.0 / n / 1000.0
+
+
+def main():
+    frames = make_sequence(100)
+    ours = {}
+    fps28 = 0.0
+    for qp in QPS:
+        fps, py, kbps = encode_once(frames, qp, timed=(qp == MAIN_QP))
+        ours[qp] = (py, kbps)
+        if qp == MAIN_QP:
+            fps28 = fps
+    ref = {p["qp"]: (p["psnr_y"], p["kbps"], p["fps"]) for p in REF["points"]}
+    bd = bd_rate(
+        [ref[q][1] for q in QPS], [ref[q][0] for q in QPS],
+        [ours[q][1] for q in QPS], [ours[q][0] for q in QPS],
+    )
     print(
         json.dumps(
             {
                 "metric": "encode_fps_cif_main",
-                "value": round(fps, 3),
+                "value": round(fps28, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / LENCOD_CIF_MAIN_FPS, 3),
-                "psnr_y_db": round(float(np.mean(ys)), 2),
-                "kbps_at_30fps": round(bits * 30.0 / n / 1000.0, 1),
-                "config": "CIF CABAC+B qp28, lencod_main=0.44fps/38.98dB/119.4kbps",
+                "vs_baseline": round(fps28 / ref[MAIN_QP][2], 3),
+                "bd_rate_vs_lencod_pct": round(bd, 2),
+                "psnr_y_db": round(ours[MAIN_QP][0], 2),
+                "kbps_at_30fps": round(ours[MAIN_QP][1], 1),
+                "lencod_qp28": f"{ref[MAIN_QP][2]}fps/{ref[MAIN_QP][0]}dB/"
+                f"{ref[MAIN_QP][1]}kbps",
+                "config": "benchseq 100f CIF, CABAC+B qp{24,28,32,36}, "
+                "BD over 4 QPs",
             }
         )
     )

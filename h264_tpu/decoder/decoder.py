@@ -59,12 +59,17 @@ class DecodedPicture:
 class H264Decoder:
     """Decodes an Annex-B stream; yields pictures in decode order."""
 
-    def __init__(self, conceal_mode: int = 0):
+    def __init__(self, conceal_mode: int = 0, use_device: bool = False):
         """conceal_mode: 0 = strict (parse errors propagate), 1 = frame
         copy, 2 = motion copy (ldecod decoder.cfg ConcealMode;
         erc_do_p.c:1260 conceal_lost_frames).  Modes 1/2 also enable
-        slice-loss concealment (erc_do_i.c / erc_do_p.c)."""
+        slice-loss concealment (erc_do_i.c / erc_do_p.c).
+
+        use_device: batch the whole picture's inter reconstruction (MC +
+        residual) as one jitted device program (decoder/device.py); intra
+        MBs keep the host raster path.  Bit-identical to the host path."""
         self.sps_map: dict[int, SPS] = {}
+        self.use_device = use_device
         self.pps_map: dict[int, PPS] = {}
         self.prev_poc_msb = 0
         self.prev_poc_lsb = 0
@@ -285,8 +290,10 @@ class H264Decoder:
         slice_info = []
         slice_refs = []
         slice_wp = []
+        slice_lists = []
         for sh in pending["slices"]:
             lists = self.dpb.build_lists(sh, poc)
+            slice_lists.append(lists)
             info = {
                 "type": sh.slice_type,
                 "cur_poc": poc,
@@ -335,8 +342,18 @@ class H264Decoder:
         n_missing = int(missing.sum())
         if n_missing:
             state.lf_disable[missing] = 1  # JM order: filter, then conceal
+        inter_done = None
+        if (self.use_device and sps.bit_depth_luma == 8
+                and sps.chroma_format_idc == 1):
+            from .device import decode_inter_picture
+
+            inter_done = decode_inter_picture(
+                state, sps, pps, planes, slice_info, slice_lists, slice_wp
+            )
         for addr in range(state.n_mbs):
             if missing[addr]:
+                continue
+            if inter_done is not None and inter_done[addr]:
                 continue
             recon.recon_mb(addr)
         deblock_picture(state, sps, planes)

@@ -1,0 +1,358 @@
+"""TPU-batched picture reconstruction (decode side).
+
+After the host entropy parse (PictureParseState) and MV derivation, the
+whole picture's inter path — quarter-pel MC including weighted and
+bi-prediction, residual dequant + inverse transform (4x4 and 8x8), and
+recon assembly — runs as ONE jitted device program.  This re-shapes the
+reference decoder's per-MB loop (ldecod/src/macroblock.c:4203
+decode_one_macroblock, mc_prediction.c:1063 perform_mc,
+mc_prediction.c:149 get_block_luma) into per-4x4-block batched tensor
+ops: MC becomes a window gather from precomputed half-pel plane banks
+(the encoder-side img_luma.c strategy, normatively identical to the
+decoder's on-the-fly 6-tap), residuals become batched transforms.
+
+Intra MBs keep the sequential host raster path (true neighbor-feedback
+dependency) and overwrite their pixels afterwards; inter MBs never read
+current-picture pixels, so device-inter-first + host-intra-second is
+exact.  qp enters traced, so one executable serves every QP.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..encoder.rd import PAD, _QTAB, ref_entry_from_planes
+from ..ops import quant as Q
+from ..ops import transforms as TR
+from ..ops.exact import rshift_rnd_sf
+
+MAXREF = 8  # padded per-list ref table depth (gathers are masked)
+
+# flat (scaling-list-free) inverse level scales, all 6 qp%6 classes
+_ILS4 = (Q.DEQUANT4 * 16).astype(np.int32)  # (6, 4, 4)
+_ILS8 = (Q.DEQUANT8 * 16).astype(np.int32)  # (6, 8, 8)
+
+
+def _deq4_batched(levels, qp, extra_dims: int):
+    """Per-MB-qp 4x4 AC dequant.  levels (nb, ..., 4, 4); qp (nb, ...)
+    with `extra_dims` batch dims between nb and the block grid."""
+    per = qp // 6
+    rem = qp % 6
+    ils = jnp.asarray(_ILS4)[rem]  # (nb, ..., 4, 4)
+    sh = ils.shape[:-2] + (1,) * extra_dims + (4, 4)
+    ils = ils.reshape(sh)
+    perb = per.reshape(per.shape + (1,) * (extra_dims + 2))
+    return rshift_rnd_sf((levels * ils) << perb, 4)
+
+
+def _deq8_batched(levels, qp, extra_dims: int):
+    per = qp // 6
+    rem = qp % 6
+    ils = jnp.asarray(_ILS8)[rem]
+    sh = ils.shape[:-2] + (1,) * extra_dims + (8, 8)
+    ils = ils.reshape(sh)
+    perb = per.reshape(per.shape + (1,) * (extra_dims + 2))
+    return rshift_rnd_sf((levels * ils) << perb, 6)
+
+
+def _deq_chroma_dc_batched(dch, qpc):
+    """dch (nb, 2, 2, 2) inverse-hadamard DC; qpc (nb, 2).
+    Truncating-shift semantics (ldecod/src/macroblock.c:3844)."""
+    per = (qpc // 6)[:, :, None, None]
+    rem = qpc % 6
+    ils00 = jnp.asarray(_ILS4)[rem][..., 0, 0][:, :, None, None]
+    t = dch * ils00
+    return jnp.where(per < 5,
+                     t >> jnp.maximum(5 - per, 0),
+                     t << jnp.maximum(per - 5, 0))
+
+
+# ---------------------------------------------------------------------------
+# bank cache on decoded pictures
+# ---------------------------------------------------------------------------
+
+def picture_bank(pic):
+    """Device (bank, cpad) for a DecodedPicture, built once and cached."""
+    ent = getattr(pic, "_device_bank", None)
+    if ent is None:
+        pl = pic.planes
+        ent = ref_entry_from_planes(
+            jnp.asarray(np.asarray(pl.Y, np.int32)),
+            jnp.asarray(np.asarray(pl.U, np.int32)),
+            jnp.asarray(np.asarray(pl.V, np.int32)),
+        )
+        pic._device_bank = ent
+    return ent
+
+
+# ---------------------------------------------------------------------------
+# the jitted whole-picture inter program
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "NS"))
+def _decode_inter(banks, cpads, refmap, mv, ref_idx, sid4,
+                  wp_mode, wp_ly, wp_lc, wy, oy, wc, oc, wimp,
+                  qp, qpc, t8, lev4, lev8, levc, dcc, inter_mask,
+                  H: int, W: int, NS: int):
+    """Returns (Y, U, V) int32 planes; non-inter MBs are zero.
+
+    banks (NB,4,Hp,Wp) / cpads (NB,2,Hcp,Wcp): unified ref banks.
+    refmap (NS,2,MAXREF): slice x list x ref_idx -> bank index.
+    mv (2,H4,W4,2), ref_idx (2,H4,W4), sid4 (H4,W4).
+    wp_*: per-slice weighted-prediction tables (see build in decoder).
+    lev4 (nb,16,4,4), lev8 (nb,4,8,8), levc (nb,2,4,4,4), dcc (nb,2,2,2).
+    """
+    H4, W4 = H // 4, W // 4
+    n_my, n_mx = H // 16, W // 16
+    n_mb = n_my * n_mx
+    Hc, Wc = H // 2, W // 2
+
+    bys = jnp.arange(H4 * W4) // W4
+    bxs = jnp.arange(H4 * W4) % W4
+
+    def mc_luma(bank_i, mvx, mvy, y0, x0):
+        xi = jnp.clip(x0 + (mvx >> 2), -(PAD - 8), W + PAD - 12)
+        yi = jnp.clip(y0 + (mvy >> 2), -(PAD - 8), H + PAD - 12)
+        wins = jax.lax.dynamic_slice(
+            banks, (bank_i, 0, yi + PAD, xi + PAD), (1, 4, 6, 6))[0]
+        f = (mvy & 3) * 4 + (mvx & 3)
+        variants = []
+        for frac in range(16):
+            t = _QTAB[frac]
+            a = wins[t[0], t[1]: t[1] + 4, t[2]: t[2] + 4]
+            b = wins[t[3], t[4]: t[4] + 4, t[5]: t[5] + 4]
+            variants.append((a + b + 1) >> 1)
+        return jnp.stack(variants)[f]
+
+    def mc_chroma(bank_i, mvx, mvy, yc, xc):
+        cxi = jnp.clip(xc + (mvx >> 3), -(PAD - 4), Wc + PAD - 8)
+        cyi = jnp.clip(yc + (mvy >> 3), -(PAD - 4), Hc + PAD - 8)
+        win = jax.lax.dynamic_slice(
+            cpads, (bank_i, 0, cyi + PAD, cxi + PAD), (1, 2, 3, 3))[0]
+        fx = mvx & 7
+        fy = mvy & 7
+        a = win[:, 0:2, 0:2]
+        b = win[:, 0:2, 1:3]
+        c = win[:, 1:3, 0:2]
+        d = win[:, 1:3, 1:3]
+        return ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+                + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+
+    def block(i):
+        by, bx = bys[i], bxs[i]
+        sid = jnp.clip(sid4[by, bx], 0, NS - 1)
+        y0, x0 = by * 4, bx * 4
+        r0 = ref_idx[0, by, bx].astype(jnp.int32)
+        r1 = ref_idx[1, by, bx].astype(jnp.int32)
+        v0, v1 = r0 >= 0, r1 >= 0
+        i0 = jnp.clip(r0, 0, MAXREF - 1)
+        i1 = jnp.clip(r1, 0, MAXREF - 1)
+        b0 = refmap[sid, 0, i0]
+        b1 = refmap[sid, 1, i1]
+        m0x, m0y = mv[0, by, bx, 0], mv[0, by, bx, 1]
+        m1x, m1y = mv[1, by, bx, 0], mv[1, by, bx, 1]
+        p0y = mc_luma(b0, m0x, m0y, y0, x0)
+        p1y = mc_luma(b1, m1x, m1y, y0, x0)
+        p0c = mc_chroma(b0, m0x, m0y, y0 >> 1, x0 >> 1)
+        p1c = mc_chroma(b1, m1x, m1y, y0 >> 1, x0 >> 1)
+        mode = wp_mode[sid]
+        ly = wp_ly[sid]
+        lc = wp_lc[sid]
+
+        # --- uni-pred (one list valid) ---
+        lst_u = jnp.where(v0, 0, 1)
+        ri_u = jnp.where(v0, i0, i1)
+        puy = jnp.where(v0, p0y, p1y)
+        puc = jnp.where(v0, p0c, p1c)
+        wy_u = wy[sid, lst_u, ri_u]
+        oy_u = oy[sid, lst_u, ri_u]
+        uy_w = jnp.where(
+            ly >= 1,
+            ((puy * wy_u + (1 << jnp.maximum(ly - 1, 0))) >> ly) + oy_u,
+            puy * wy_u + oy_u).clip(0, 255)
+        wc_u = wc[sid, lst_u, ri_u][:, None, None]
+        oc_u = oc[sid, lst_u, ri_u][:, None, None]
+        uc_w = jnp.where(
+            lc >= 1,
+            ((puc * wc_u + (1 << jnp.maximum(lc - 1, 0))) >> lc) + oc_u,
+            puc * wc_u + oc_u).clip(0, 255)
+        uni_y = jnp.where(mode == 1, uy_w, puy)
+        uni_c = jnp.where(mode == 1, uc_w, puc)
+
+        # --- bi-pred ---
+        # explicit weights (mode 1) or implicit pair table (mode 2)
+        ewy0, ewy1 = wy[sid, 0, i0], wy[sid, 1, i1]
+        eoy0, eoy1 = oy[sid, 0, i0], oy[sid, 1, i1]
+        iw = wimp[sid, i0, i1]
+        by0 = jnp.where(mode == 2, iw[0], ewy0)
+        by1 = jnp.where(mode == 2, iw[1], ewy1)
+        bo0 = jnp.where(mode == 2, 0, eoy0)
+        bo1 = jnp.where(mode == 2, 0, eoy1)
+        lyb = jnp.where(mode == 2, 5, ly)
+        lcb = jnp.where(mode == 2, 5, lc)
+        wp_on = mode > 0
+        bi_y_w = (((p0y * by0 + p1y * by1 + (1 << lyb)) >> (lyb + 1))
+                  + ((bo0 + bo1 + 1) >> 1)).clip(0, 255)
+        bi_y_p = (p0y + p1y + 1) >> 1
+        bi_y = jnp.where(wp_on, bi_y_w, bi_y_p)
+        ewc0 = jnp.where(mode == 2, iw[0], wc[sid, 0, i0])[:, None, None]
+        ewc1 = jnp.where(mode == 2, iw[1], wc[sid, 1, i1])[:, None, None]
+        eoc0 = jnp.where(mode == 2, 0, oc[sid, 0, i0])[:, None, None]
+        eoc1 = jnp.where(mode == 2, 0, oc[sid, 1, i1])[:, None, None]
+        bi_c_w = (((p0c * ewc0 + p1c * ewc1 + (1 << lcb)) >> (lcb + 1))
+                  + ((eoc0 + eoc1 + 1) >> 1)).clip(0, 255)
+        bi_c_p = (p0c + p1c + 1) >> 1
+        bi_c = jnp.where(wp_on, bi_c_w, bi_c_p)
+
+        both = v0 & v1
+        py = jnp.where(both, bi_y, uni_y)
+        pc = jnp.where(both, bi_c, uni_c)
+        any_v = v0 | v1
+        return jnp.where(any_v, py, 0), jnp.where(any_v, pc, 0)
+
+    pred4, predc2 = jax.vmap(block)(jnp.arange(H4 * W4))
+    # assemble prediction planes
+    pred_y = (pred4.reshape(H4, W4, 4, 4).transpose(0, 2, 1, 3)
+              .reshape(H, W))
+    pred_c = (predc2.reshape(H4, W4, 2, 2, 2).transpose(2, 0, 3, 1, 4)
+              .reshape(2, Hc, Wc))
+
+    # --- residuals (batched per MB) -------------------------------------
+    omb = lambda p: (p.reshape(n_my, 16, n_mx, 16).transpose(0, 2, 1, 3)
+                     .reshape(n_mb, 16, 16))
+    pmb = omb(pred_y)
+    # 4x4 path
+    r4 = TR.inverse4x4(_deq4_batched(lev4, qp, 1).astype(jnp.int32))
+    # blocks are indexed 0..15 in the JM 8x8-then-4x4 order
+    # (mbtables.BLK4_TO_XY); scatter via a static permutation to raster
+    from . import mbtables as M
+    perm = np.zeros(16, np.int64)
+    for blk in range(16):
+        bx, by = M.BLK4_TO_XY[blk]
+        perm[int(by) * 4 + int(bx)] = blk
+    r4o = r4[:, jnp.asarray(perm)]  # row-major 4x4 grid of blocks
+    res4 = (r4o.reshape(n_mb, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
+            .reshape(n_mb, 16, 16))
+    # 8x8 path
+    r8 = TR.inverse8x8(_deq8_batched(lev8, qp, 1).astype(jnp.int32))
+    res8 = (r8.reshape(n_mb, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4)
+            .reshape(n_mb, 16, 16))
+    res = jnp.where(t8[:, None, None].astype(bool), res8, res4)
+    rec_y = ((res + (pmb << 6) + 32) >> 6).clip(0, 255)
+    rec_y = jnp.where(inter_mask[:, None, None], rec_y, 0)
+    Y = (rec_y.reshape(n_my, n_mx, 16, 16).transpose(0, 2, 1, 3)
+         .reshape(H, W))
+
+    # chroma residual: DC hadamard + AC
+    cmb = (pred_c.reshape(2, n_my, 8, n_mx, 8).transpose(1, 3, 0, 2, 4)
+           .reshape(n_mb, 2, 8, 8))
+    dch = TR.hadamard2x2(dcc.astype(jnp.int32))
+    dcd = _deq_chroma_dc_batched(dch, qpc)  # (nb, 2, 2, 2)
+    deqc = _deq4_batched(levc, qpc, 1)
+    deqc = deqc.at[..., 0, 0].set(dcd.reshape(n_mb, 2, 4))
+    rc = TR.inverse4x4(deqc.astype(jnp.int32))
+    resc = (rc.reshape(n_mb, 2, 2, 2, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+            .reshape(n_mb, 2, 8, 8))
+    rec_c = ((resc + (cmb << 6) + 32) >> 6).clip(0, 255)
+    rec_c = jnp.where(inter_mask[:, None, None, None], rec_c, 0)
+    C = (rec_c.reshape(n_my, n_mx, 2, 8, 8).transpose(2, 0, 3, 1, 4)
+         .reshape(2, Hc, Wc))
+    return Y, C[0], C[1]
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+def decode_inter_picture(state, sps, pps, planes, slice_infos, slice_lists,
+                         slice_wp):
+    """Run the device inter program; write inter-MB pixels into planes.
+
+    slice_lists: per slice id [list0 pics, list1 pics];
+    slice_wp: per slice id build_wp_params() dict or None.
+    Returns the inter-MB mask (nb,) so the caller can skip those in the
+    host pass."""
+    H, W = sps.height, sps.width
+    nb = state.n_mbs
+    NS = max(1, len(slice_lists))
+
+    # unified bank table
+    pics = []
+    pic_ids = {}
+    refmap = np.zeros((NS, 2, MAXREF), np.int32)
+    for sid, lists in enumerate(slice_lists):
+        for lst in (0, 1):
+            for ri, p in enumerate(lists[lst][:MAXREF]):
+                key = id(p)
+                if key not in pic_ids:
+                    pic_ids[key] = len(pics)
+                    pics.append(p)
+                refmap[sid, lst, ri] = pic_ids[key]
+    if not pics:
+        return None
+    ents = [picture_bank(p) for p in pics]
+    banks = jnp.stack([e[0] for e in ents])
+    cpads = jnp.stack([e[1] for e in ents])
+
+    # WP tables
+    wp_mode = np.zeros(NS, np.int32)
+    wp_ly = np.zeros(NS, np.int32)
+    wp_lc = np.zeros(NS, np.int32)
+    wy = np.ones((NS, 2, MAXREF), np.int32)
+    oy = np.zeros((NS, 2, MAXREF), np.int32)
+    wc = np.ones((NS, 2, MAXREF, 2), np.int32)
+    oc = np.zeros((NS, 2, MAXREF, 2), np.int32)
+    wimp = np.full((NS, MAXREF, MAXREF, 2), 32, np.int32)
+    for sid, wp in enumerate(slice_wp):
+        if wp is None:
+            continue
+        wp_mode[sid] = wp["mode"]
+        wp_ly[sid] = wp["ly"]
+        wp_lc[sid] = wp["lc"]
+        if wp["mode"] == 1:
+            for lst in (0, 1):
+                for ri, pw in enumerate(wp["w"][lst][:MAXREF]):
+                    wy[sid, lst, ri] = pw.luma_weight
+                    oy[sid, lst, ri] = pw.luma_offset
+                    wc[sid, lst, ri] = pw.chroma_weight
+                    oc[sid, lst, ri] = pw.chroma_offset
+        else:
+            for (i, j), (w0, w1) in wp["tab"].items():
+                if i < MAXREF and j < MAXREF:
+                    wimp[sid, i, j] = (w0, w1)
+
+    sid_mb = np.asarray(state.slice_id)
+    inter = (sid_mb >= 0) & (np.asarray(state.is_intra) == 0) \
+        & (np.asarray(state.mb_type) >= 0)
+    if not inter.any():
+        return None
+    sid4 = np.repeat(np.repeat(sid_mb.reshape(state.H, state.W), 4, 0), 4, 1)
+
+    Y, U, V = _decode_inter(
+        banks, cpads, jnp.asarray(refmap),
+        jnp.asarray(state.mv), jnp.asarray(state.ref_idx, np.int32),
+        jnp.asarray(sid4),
+        jnp.asarray(wp_mode), jnp.asarray(wp_ly), jnp.asarray(wp_lc),
+        jnp.asarray(wy), jnp.asarray(oy), jnp.asarray(wc), jnp.asarray(oc),
+        jnp.asarray(wimp),
+        jnp.asarray(state.qp), jnp.asarray(state.qpc),
+        jnp.asarray(state.transform8x8),
+        jnp.asarray(state.luma_levels), jnp.asarray(state.luma8_levels),
+        jnp.asarray(state.chroma_levels), jnp.asarray(state.chroma_dc),
+        jnp.asarray(inter),
+        H=H, W=W, NS=NS,
+    )
+    Yh = np.asarray(Y)
+    Uh = np.asarray(U)
+    Vh = np.asarray(V)
+    m16 = np.repeat(np.repeat(inter.reshape(state.H, state.W), 16, 0), 16, 1)
+    m8 = np.repeat(np.repeat(inter.reshape(state.H, state.W), 8, 0), 8, 1)
+    planes.Y[m16] = Yh[m16]
+    planes.U[m8] = Uh[m8]
+    planes.V[m8] = Vh[m8]
+    return inter

@@ -452,19 +452,24 @@ class H264Encoder:
             jnp.asarray(np.ascontiguousarray(p, np.uint8)) for p in yuv
         )
         refs = self._rd_refs[: max(1, cfg.num_ref_frames)]
-        banks = jnp.stack([e[1] for e in refs])
-        cpads = jnp.stack([e[2] for e in refs])
+        # pad the bank stack to a FIXED depth (masked via nref) so the
+        # DPB warming up from 1 to num_ref_frames reuses one executable
+        nr_max = max(1, cfg.num_ref_frames)
+        pad = [refs[-1]] * (nr_max - len(refs))
+        banks = jnp.stack([e[1] for e in refs + pad])
+        cpads = jnp.stack([e[2] for e in refs + pad])
+        nref = jnp.int32(len(refs))
         if cfg.row_slices > 1:
             host_out, recon, new_entry = RD.rd_p_rows_pipeline(
                 *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 16),
                 qp=qp, qp_c=qp_c, lam=self.lambda_mode_fx,
-                lam_me=self.lambda_mode_fx, G=cfg.row_slices,
+                lam_me=self.lambda_mode_fx, G=cfg.row_slices, nref=nref,
             )
         else:
             host_out, recon, new_entry = RD.rd_p_pipeline(
                 *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 16),
                 qp=qp, qp_c=qp_c, lam=self.lambda_mode_fx,
-                lam_me=self.lambda_mode_fx,
+                lam_me=self.lambda_mode_fx, nref=nref,
             )
         frame_num = self.frame_num
         self.frame_num += 1
@@ -699,8 +704,10 @@ class H264Encoder:
         assert past and fut, "B picture needs anchors on both sides"
         past = past[: max(1, cfg.num_ref_frames)]
         fut_e = min(fut, key=lambda e: e[0])
-        banks0 = jnp.stack([e[1] for e in past])
-        cpads0 = jnp.stack([e[2] for e in past])
+        nr_max = max(1, cfg.num_ref_frames)
+        pad_n = nr_max - len(past)
+        banks0 = jnp.stack([e[1] for e in past + [past[-1]] * pad_n])
+        cpads0 = jnp.stack([e[2] for e in past + [past[-1]] * pad_n])
         banks1 = jnp.stack([fut_e[1]])
         cpads1 = jnp.stack([fut_e[2]])
         col_intra4, col_ref4, col_mvx4, col_mvy4 = fut_e[3]
@@ -720,16 +727,20 @@ class H264Encoder:
                 jnp.clip(col_ref4, 0, len(trans) - 1)]
         dsf = [dist_scale_factor(poc, p0, poc1) for p0 in pocs0]
         eq = [p0 == poc1 for p0 in pocs0]
+        # pad the per-ref tables alongside the padded bank stack
+        pocs0_p = pocs0 + [pocs0[-1]] * pad_n
+        dsf_p = dsf + [dsf[-1]] * pad_n
+        eq_p = eq + [eq[-1]] * pad_n
         lam = int(0.85 * 2.0 ** ((qp - 12) / 3.0) * 65536 + 0.5)
         host_out, recon = RD.rd_b_pipeline(
             *cur, banks0, cpads0, banks1, cpads1,
             col_intra4, col_ref4, col_mvx4, col_mvy4,
-            jnp.asarray(np.asarray(pocs0, np.int32)),
-            jnp.asarray(np.asarray(dsf, np.int32)),
-            jnp.asarray(np.asarray(eq, bool)),
+            jnp.asarray(np.asarray(pocs0_p, np.int32)),
+            jnp.asarray(np.asarray(dsf_p, np.int32)),
+            jnp.asarray(np.asarray(eq_p, bool)),
             jnp.int32(poc1),
             H=H, W=W, R=min(cfg.search_range, 16), qp=qp, qp_c=qp_c,
-            lam=lam, lam_me=lam,
+            lam=lam, lam_me=lam, nref0=jnp.int32(len(past)),
         )
         # decode-order frame_num captured at dispatch (non-ref B =
         # frame_num of its anchor + 1, which _start_p_rd just set)

@@ -184,13 +184,18 @@ def _med3(a, b, c):
 # the P pipeline
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=(
-    "H", "W", "R", "qp", "qp_c", "lam", "lam_me", "stage"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "R", "stage"))
 def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
                   H: int, W: int, R: int, qp: int, qp_c: int,
-                  lam: int, lam_me: int, stage: int = 9):
+                  lam: int, lam_me: int, stage: int = 9, nref=None):
     """Whole-frame RD P encode. banks: (NR, 4, Hp, Wp); cpads:
     (NR, 2, Hcp, Wcp).  lam/lam_me: lambda_mode / lambda_me << 16.
+
+    qp/qp_c/lam/lam_me are TRACED (tables become gathers) so one
+    executable serves every QP — the 4-QP BD bench and per-frame rate
+    control reuse a single compilation.  nref (traced int32, default
+    all) masks trailing padded entries of `banks` out of the ref
+    search, so a DPB warming up from 1 to NR refs also reuses it.
 
     Returns (host_out flat int32, recon (Y, U, V), next ref entry)."""
     cur_y = cur_y8.astype(jnp.int32)
@@ -266,14 +271,18 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     # reference-index rate (te(v) length against NR refs)
     rbits = np.array([1 if r == 0 else 2 * int(r + 1).bit_length() - 1
                       for r in range(NR)], np.int32)
-    if NR == 1:
-        rbits[:] = 0
-    rbits = jnp.asarray(rbits)
+    if nref is None:
+        nref = jnp.int32(NR)
+    # a single active ref transmits no ref_idx at all
+    rbits = jnp.where(nref <= 1, 0, jnp.asarray(rbits))
+    # padded (invalid) refs must never win a search
+    ref_pen = jnp.where(jnp.arange(NR) >= nref, jnp.int32(1 << 29), 0)
 
     def part_argmin(grids):
         """grids: (NR, n_my, n_mx, D, D) -> (ref, imvx, imvy) per MB."""
         cost = grids + ((lam_me * mvbits) >> 16)[None]
-        cost = cost + ((lam_me * rbits) >> 16)[:, None, None, None, None]
+        cost = cost + (((lam_me * rbits) >> 16) + ref_pen)[
+            :, None, None, None, None]
         flat = cost.reshape(NR, n_my, n_mx, -1)
         per_ref = jnp.min(flat, axis=-1)
         per_ref_i = jnp.argmin(flat, axis=-1)
@@ -936,12 +945,14 @@ def deblock_device_full(rec_y, rec_u, rec_v, BSV, BSH, qp: int, qp_c: int,
     H, W = rec_y.shape
     n_my, n_mx = H // 16, W // 16
     n_mb = n_my * n_mx
-    iA = min(51, max(0, qp))
-    alpha, beta = int(ALPHA_TABLE[iA]), int(BETA_TABLE[iA])
-    clip_row = jnp.asarray(CLIP_TAB[iA][:4], jnp.int32)
-    iAc = min(51, max(0, qp_c))
-    alpha_c, beta_c = int(ALPHA_TABLE[iAc]), int(BETA_TABLE[iAc])
-    clip_row_c = jnp.asarray(CLIP_TAB[iAc][:4], jnp.int32)
+    # qp may be traced: threshold tables become device gathers
+    iA = jnp.clip(jnp.asarray(qp), 0, 51)
+    at = jnp.asarray(ALPHA_TABLE, jnp.int32)
+    bt = jnp.asarray(BETA_TABLE, jnp.int32)
+    ct = jnp.asarray(np.asarray(CLIP_TAB)[:, :4], jnp.int32)
+    alpha, beta, clip_row = at[iA], bt[iA], ct[iA]
+    iAc = jnp.clip(jnp.asarray(qp_c), 0, 51)
+    alpha_c, beta_c, clip_row_c = at[iAc], bt[iAc], ct[iAc]
 
     Yp = jnp.pad(rec_y, ((4, 0), (4, 0)))
     Up = jnp.pad(rec_u, ((2, 0), (2, 0)))
@@ -1099,13 +1110,12 @@ def strengths_full_b(nz4, intra4, v0, r0, m0x, m0y, v1, r1, m1x, m1y):
     return BSV, BSH
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "H", "W", "R", "qp", "qp_c", "lam", "lam_me"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "R"))
 def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
                   col_intra4, col_ref4, col_mvx4, col_mvy4,
                   pocs0, dsf_tab, eq_tab, poc1,
                   H: int, W: int, R: int, qp: int, qp_c: int,
-                  lam: int, lam_me: int):
+                  lam: int, lam_me: int, nref0=None):
     """Whole-frame RD B encode (non-reference, temporal direct).
 
     banks0/cpads0: stacked list-0 (past anchor) refs; banks1/cpads1: the
@@ -1178,14 +1188,22 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
     bits_y = _mv_bits(dgrid[None, None, :] - pmvy[..., None])
     mvbits = bits_x[:, :, None, :] + bits_y[:, :, :, None]
 
-    def argmin16(grids):
+    if nref0 is None:
+        nref0 = jnp.int32(NR0)
+
+    def argmin16(grids, nref=None):
         nr = grids.shape[0]
-        rb = np.array([1 if r == 0 else 2 * int(r + 1).bit_length() - 1
-                       for r in range(nr)], np.int32)
-        if nr == 1:
-            rb[:] = 0
+        rb = jnp.asarray(np.array(
+            [1 if r == 0 else 2 * int(r + 1).bit_length() - 1
+             for r in range(nr)], np.int32))
+        if nref is None:  # fixed single-entry list (list 1)
+            rb = rb * 0 if nr == 1 else rb
+            pen = jnp.zeros((nr,), jnp.int32)
+        else:
+            rb = jnp.where(nref <= 1, 0, rb)
+            pen = jnp.where(jnp.arange(nr) >= nref, jnp.int32(1 << 29), 0)
         cost = grids + ((lam_me * mvbits) >> 16)[None]
-        cost = cost + ((lam_me * jnp.asarray(rb)) >> 16)[
+        cost = cost + (((lam_me * rb) >> 16) + pen)[
             :, None, None, None, None]
         flat = cost.reshape(nr, n_my, n_mx, -1)
         per_ref = jnp.min(flat, axis=-1)
@@ -1196,7 +1214,7 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
                 (idx % D - R).astype(jnp.int32),
                 (idx // D - R).astype(jnp.int32))
 
-    a0 = argmin16(g0)
+    a0 = argmin16(g0, nref0)
     a1 = argmin16(g1)
 
     mb_ys = (jnp.arange(n_mb) // n_mx) * 16
@@ -1470,11 +1488,10 @@ def _row_slabs(banks, cpads, H: int, G: int):
     return slabs, cslabs
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "H", "W", "R", "qp", "qp_c", "lam", "lam_me", "G"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "R", "G"))
 def rd_p_rows_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
                        H: int, W: int, R: int, qp: int, qp_c: int,
-                       lam: int, lam_me: int, G: int):
+                       lam: int, lam_me: int, G: int, nref=None):
     """G row-group slices of one P frame, each through the full RD
     pipeline on its reference slab; recon and the next reference entry are
     reassembled full-frame.  Output host buffers are per group."""
@@ -1487,7 +1504,7 @@ def rd_p_rows_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     outs = jax.vmap(
         lambda cy, cu, cv, bk, cp: rd_p_pipeline(
             cy, cu, cv, bk, cp, H=Hg, W=W, R=R, qp=qp, qp_c=qp_c,
-            lam=lam, lam_me=lam_me)
+            lam=lam, lam_me=lam_me, nref=nref)
     )(subY, subU, subV, slabs, cslabs)
     host_outs, recons, entries = outs
     Yf = recons[0].reshape(H, W)

@@ -93,15 +93,31 @@ Q_BITS_4 = 15
 Q_BITS_8 = 16
 
 
+def _is_static(qp) -> bool:
+    """True when qp is a plain Python/numpy integer (host numpy path);
+    False for traced jax scalars (device path — tables become gathers,
+    shifts become dynamic, so ONE executable serves every QP)."""
+    return isinstance(qp, (int, np.integer))
+
+
+def _gather6(table6, rem):
+    """table6[rem] for static or traced rem (table6: (6, N, N) numpy)."""
+    if _is_static(rem):
+        return table6[rem]
+    import jax.numpy as jnp
+
+    return jnp.asarray(table6)[rem]
+
+
 def inv_level_scale4(qp_rem: int, weight_scale: np.ndarray | None = None) -> np.ndarray:
     """InvLevelScale4x4 = normAdjust * weightScale (flat 16 by default)."""
     w = FLAT_SCALE_16 if weight_scale is None else np.asarray(weight_scale, np.int32)
-    return DEQUANT4[qp_rem] * w
+    return _gather6(DEQUANT4, qp_rem) * w
 
 
 def inv_level_scale8(qp_rem: int, weight_scale: np.ndarray | None = None) -> np.ndarray:
     w = FLAT_SCALE_64 if weight_scale is None else np.asarray(weight_scale, np.int32)
-    return DEQUANT8[qp_rem] * w
+    return _gather6(DEQUANT8, qp_rem) * w
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +148,7 @@ def dequant_luma_dc(dc_hadamard, qp: int, weight_scale=None):
     """Luma 16x16 DC dequant applied AFTER the inverse 4x4 Hadamard:
     rshift_rnd((dc * ILS[0,0]) << qp_per, 6).  (ldecod/src/block.c itrans_2)"""
     per, rem = qp // 6, qp % 6
-    ils00 = int(inv_level_scale4(rem, weight_scale)[0, 0])
+    ils00 = inv_level_scale4(rem, weight_scale)[0, 0]
     return rshift_rnd((dc_hadamard * ils00) << per, 6)
 
 
@@ -141,11 +157,17 @@ def dequant_chroma_dc(dc_hadamard, qp_c: int, weight_scale=None):
     (t * ILS[0,0]) >> (5 - per) if per < 5 else << (per - 5)   — truncating!
     (ldecod/src/macroblock.c:3844-3853)"""
     per, rem = qp_c // 6, qp_c % 6
-    ils00 = int(inv_level_scale4(rem, weight_scale)[0, 0])
+    ils00 = inv_level_scale4(rem, weight_scale)[0, 0]
     t = dc_hadamard * ils00
-    if per < 5:
-        return t >> (5 - per)
-    return t << (per - 5)
+    if _is_static(qp_c):
+        if per < 5:
+            return t >> (5 - per)
+        return t << (per - 5)
+    import jax.numpy as jnp
+
+    return jnp.where(per < 5,
+                     t >> jnp.maximum(5 - per, 0),
+                     t << jnp.maximum(per - 5, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +182,8 @@ def quant4x4(coefs, qp: int, offset, weight_scale=None):
     ~1/3, ~1/6 of the step).  Returns int32 levels."""
     per, rem = qp // 6, qp % 6
     qbits = Q_BITS_4 + per
-    mf = QUANT4[rem] if weight_scale is None else _mf_weighted(QUANT4[rem], weight_scale, 4)
+    mf = (_gather6(QUANT4, rem) if weight_scale is None
+          else _gather6(_mf_weighted6(QUANT4, weight_scale, 4), rem))
     c = coefs
     ac = abs(c)
     lev = (ac * (c * 0 + mf) + offset) >> qbits
@@ -170,7 +193,8 @@ def quant4x4(coefs, qp: int, offset, weight_scale=None):
 def quant8x8(coefs, qp: int, offset, weight_scale=None):
     per, rem = qp // 6, qp % 6
     qbits = Q_BITS_8 + per
-    mf = QUANT8[rem] if weight_scale is None else _mf_weighted(QUANT8[rem], weight_scale, 8)
+    mf = (_gather6(QUANT8, rem) if weight_scale is None
+          else _gather6(_mf_weighted6(QUANT8, weight_scale, 8), rem))
     c = coefs
     ac = abs(c)
     lev = (ac * (c * 0 + mf) + offset) >> qbits
@@ -183,21 +207,29 @@ def default_offset4(qp: int, intra: bool):
     qbits = 15 + qp/6."""
     per = qp // 6
     base = 682 if intra else 342
-    return np.int32(base << (Q_BITS_4 + per - 11))
+    if _is_static(qp):
+        return np.int32(base << (Q_BITS_4 + per - 11))
+    import jax.numpy as jnp
+
+    return jnp.int32(base) << (Q_BITS_4 + per - 11)
 
 
 def default_offset8(qp: int, intra: bool):
     per = qp // 6
     base = 682 if intra else 342
-    return np.int32(base << (Q_BITS_8 + per - 11))
+    if _is_static(qp):
+        return np.int32(base << (Q_BITS_8 + per - 11))
+    import jax.numpy as jnp
+
+    return jnp.int32(base) << (Q_BITS_8 + per - 11)
 
 
 def quant_luma_dc(dc_hadamard, qp: int, intra: bool = True):
     """Quantize the 4x4 Hadamard of luma DC: (|c| * MF00 + 2*offset) >> (qbits+1)."""
     per, rem = qp // 6, qp % 6
     qbits = Q_BITS_4 + per
-    mf00 = int(QUANT4[rem][0, 0])
-    offset = int(default_offset4(qp, intra)) * 2
+    mf00 = _gather6(QUANT4, rem)[0, 0]
+    offset = default_offset4(qp, intra) * 2
     c = dc_hadamard
     lev = (abs(c) * mf00 + offset) >> (qbits + 1)
     return _copysign(lev, c)
@@ -207,8 +239,8 @@ def quant_chroma_dc(dc_hadamard, qp_c: int, intra: bool):
     """Quantize 2x2 chroma DC Hadamard: (|c| * MF00 + 2*offset) >> (qbits+1)."""
     per, rem = qp_c // 6, qp_c % 6
     qbits = Q_BITS_4 + per
-    mf00 = int(QUANT4[rem][0, 0])
-    offset = int(default_offset4(qp_c, intra)) * 2
+    mf00 = _gather6(QUANT4, rem)[0, 0]
+    offset = default_offset4(qp_c, intra) * 2
     c = dc_hadamard
     lev = (abs(c) * mf00 + offset) >> (qbits + 1)
     return _copysign(lev, c)
@@ -225,3 +257,9 @@ def _mf_weighted(mf_flat, weight_scale, n: int):
     (JM q_matrix.c CalculateQuantParam: LevelScale = (coef<<4)/matrix)."""
     w = np.asarray(weight_scale, np.int64)
     return (((mf_flat.astype(np.int64) << 4) + (w >> 1)) // w).astype(np.int32)
+
+
+def _mf_weighted6(mf6, weight_scale, n: int):
+    """All-rem weighted MF table (6, n, n) — weight_scale must be a
+    concrete (config-time) matrix even when qp is traced."""
+    return np.stack([_mf_weighted(mf6[r], weight_scale, n) for r in range(6)])
