@@ -392,8 +392,8 @@ class H264Decoder:
         return pic
 
 
-def decode_annexb(data: bytes) -> list:
+def decode_annexb(data: bytes, use_device: bool = False) -> list:
     """Decode a stream; returns pictures in output (POC) order."""
-    dec = H264Decoder()
+    dec = H264Decoder(use_device=use_device)
     pics = list(dec.decode_stream(data))
     return sorted(pics, key=lambda p: p.poc)

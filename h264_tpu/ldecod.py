@@ -37,7 +37,7 @@ def main(argv=None) -> int:
         if args[0].endswith((".rtp", ".264r")):
             run.nal_mode = 1
     data = open(run.input_file, "rb").read()
-    dec = H264Decoder(conceal_mode=run.concealment_mode)
+    dec = H264Decoder(conceal_mode=run.concealment_mode, use_device=True)
     if run.nal_mode == 1:
         pics = list(dec.decode_nalus(read_rtp(data)))
     else:
