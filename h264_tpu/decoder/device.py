@@ -33,39 +33,41 @@ from ..ops.exact import rshift_rnd_sf
 
 MAXREF = 8  # padded per-list ref table depth (gathers are masked)
 
-# flat (scaling-list-free) inverse level scales, all 6 qp%6 classes
+# flat (scaling-list-free) inverse level scales, all 6 qp%6 classes;
+# with SPS/PPS scaling matrices the driver passes DEQUANT * WeightScale
 _ILS4 = (Q.DEQUANT4 * 16).astype(np.int32)  # (6, 4, 4)
 _ILS8 = (Q.DEQUANT8 * 16).astype(np.int32)  # (6, 8, 8)
 
 
-def _deq4_batched(levels, qp, extra_dims: int):
+def _deq4_batched(levels, qp, extra_dims: int, ils6):
     """Per-MB-qp 4x4 AC dequant.  levels (nb, ..., 4, 4); qp (nb, ...)
-    with `extra_dims` batch dims between nb and the block grid."""
+    with `extra_dims` batch dims between nb and the block grid;
+    ils6 (6, 4, 4) InvLevelScale per qp%6."""
     per = qp // 6
     rem = qp % 6
-    ils = jnp.asarray(_ILS4)[rem]  # (nb, ..., 4, 4)
+    ils = ils6[rem]  # (nb, ..., 4, 4)
     sh = ils.shape[:-2] + (1,) * extra_dims + (4, 4)
     ils = ils.reshape(sh)
     perb = per.reshape(per.shape + (1,) * (extra_dims + 2))
     return rshift_rnd_sf((levels * ils) << perb, 4)
 
 
-def _deq8_batched(levels, qp, extra_dims: int):
+def _deq8_batched(levels, qp, extra_dims: int, ils6):
     per = qp // 6
     rem = qp % 6
-    ils = jnp.asarray(_ILS8)[rem]
+    ils = ils6[rem]
     sh = ils.shape[:-2] + (1,) * extra_dims + (8, 8)
     ils = ils.reshape(sh)
     perb = per.reshape(per.shape + (1,) * (extra_dims + 2))
     return rshift_rnd_sf((levels * ils) << perb, 6)
 
 
-def _deq_chroma_dc_batched(dch, qpc):
-    """dch (nb, 2, 2, 2) inverse-hadamard DC; qpc (nb, 2).
+def _deq_chroma_dc_batched(dch, qpc, ilsc):
+    """dch (nb, 2, 2, 2) inverse-hadamard DC; qpc (nb, 2); ilsc
+    (nb, 2, 4, 4) per-plane InvLevelScale (already qp%6-gathered).
     Truncating-shift semantics (ldecod/src/macroblock.c:3844)."""
     per = (qpc // 6)[:, :, None, None]
-    rem = qpc % 6
-    ils00 = jnp.asarray(_ILS4)[rem][..., 0, 0][:, :, None, None]
+    ils00 = ilsc[..., 0, 0][:, :, None, None]
     t = dch * ils00
     return jnp.where(per < 5,
                      t >> jnp.maximum(5 - per, 0),
@@ -98,6 +100,7 @@ def picture_bank(pic):
 def _decode_inter(banks, cpads, refmap, mv, ref_idx, sid4,
                   wp_mode, wp_ly, wp_lc, wy, oy, wc, oc, wimp,
                   qp, qpc, t8, lev4, lev8, levc, dcc, inter_mask,
+                  ils4y, ils8y, ils4c,
                   H: int, W: int, NS: int):
     """Returns (Y, U, V) int32 planes; non-inter MBs are zero.
 
@@ -227,7 +230,7 @@ def _decode_inter(banks, cpads, refmap, mv, ref_idx, sid4,
                      .reshape(n_mb, 16, 16))
     pmb = omb(pred_y)
     # 4x4 path
-    r4 = TR.inverse4x4(_deq4_batched(lev4, qp, 1).astype(jnp.int32))
+    r4 = TR.inverse4x4(_deq4_batched(lev4, qp, 1, ils4y).astype(jnp.int32))
     # blocks are indexed 0..15 in the JM 8x8-then-4x4 order
     # (mbtables.BLK4_TO_XY); scatter via a static permutation to raster
     from . import mbtables as M
@@ -239,7 +242,7 @@ def _decode_inter(banks, cpads, refmap, mv, ref_idx, sid4,
     res4 = (r4o.reshape(n_mb, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
             .reshape(n_mb, 16, 16))
     # 8x8 path
-    r8 = TR.inverse8x8(_deq8_batched(lev8, qp, 1).astype(jnp.int32))
+    r8 = TR.inverse8x8(_deq8_batched(lev8, qp, 1, ils8y).astype(jnp.int32))
     res8 = (r8.reshape(n_mb, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4)
             .reshape(n_mb, 16, 16))
     res = jnp.where(t8[:, None, None].astype(bool), res8, res4)
@@ -252,8 +255,12 @@ def _decode_inter(banks, cpads, refmap, mv, ref_idx, sid4,
     cmb = (pred_c.reshape(2, n_my, 8, n_mx, 8).transpose(1, 3, 0, 2, 4)
            .reshape(n_mb, 2, 8, 8))
     dch = TR.hadamard2x2(dcc.astype(jnp.int32))
-    dcd = _deq_chroma_dc_batched(dch, qpc)  # (nb, 2, 2, 2)
-    deqc = _deq4_batched(levc, qpc, 1)
+    # per-plane chroma InvLevelScale (lists Inter-Cb/Cr differ under
+    # scaling matrices): gather (2,6,4,4) by plane x qp%6 -> (nb,2,4,4)
+    ilsc = ils4c[jnp.arange(2)[None, :], qpc % 6]
+    dcd = _deq_chroma_dc_batched(dch, qpc, ilsc)  # (nb, 2, 2, 2)
+    perc = (qpc // 6)[:, :, None, None, None]
+    deqc = rshift_rnd_sf((levc * ilsc[:, :, None]) << perc, 4)
     deqc = deqc.at[..., 0, 0].set(dcd.reshape(n_mb, 2, 4))
     rc = TR.inverse4x4(deqc.astype(jnp.int32))
     resc = (rc.reshape(n_mb, 2, 2, 2, 4, 4).transpose(0, 1, 2, 4, 3, 5)
@@ -326,6 +333,20 @@ def decode_inter_picture(state, sps, pps, planes, slice_infos, slice_lists,
                 if i < MAXREF and j < MAXREF:
                     wimp[sid, i, j] = (w0, w1)
 
+    # inverse level scales: DEQUANT * WeightScale (inter lists 3/7, 4/5)
+    from ..syntax.parsets import effective_scaling
+
+    ws = effective_scaling(sps, pps)
+    if ws is None:
+        ils4y, ils8y = _ILS4, _ILS8
+        ils4c = np.stack([_ILS4, _ILS4])
+    else:
+        ws4, ws8 = ws
+        ils4y = (Q.DEQUANT4 * ws4[3]).astype(np.int32)
+        ils8y = (Q.DEQUANT8 * ws8[1]).astype(np.int32)
+        ils4c = np.stack([(Q.DEQUANT4 * ws4[4]).astype(np.int32),
+                          (Q.DEQUANT4 * ws4[5]).astype(np.int32)])
+
     sid_mb = np.asarray(state.slice_id)
     inter = (sid_mb >= 0) & (np.asarray(state.is_intra) == 0) \
         & (np.asarray(state.mb_type) >= 0)
@@ -345,6 +366,7 @@ def decode_inter_picture(state, sps, pps, planes, slice_infos, slice_lists,
         jnp.asarray(state.luma_levels), jnp.asarray(state.luma8_levels),
         jnp.asarray(state.chroma_levels), jnp.asarray(state.chroma_dc),
         jnp.asarray(inter),
+        jnp.asarray(ils4y), jnp.asarray(ils8y), jnp.asarray(ils4c),
         H=H, W=W, NS=NS,
     )
     Yh = np.asarray(Y)

@@ -121,6 +121,18 @@ class IntraReconstructor:
         self.dc_c = 1 << (sps.bit_depth_chroma - 1)
         self.max_y = (1 << sps.bit_depth_luma) - 1
         self.max_c = (1 << sps.bit_depth_chroma) - 1
+        # effective scaling (WeightScale) matrices; None = flat 16
+        from ..syntax.parsets import effective_scaling
+
+        ws = effective_scaling(sps, pps)
+        self.ws4, self.ws8 = ws if ws is not None else (None, None)
+
+    def _w4(self, idx: int):
+        """WeightScale4x4 list idx (0..5) or None (flat)."""
+        return None if self.ws4 is None else self.ws4[idx]
+
+    def _w8(self, idx: int):
+        return None if self.ws8 is None else self.ws8[idx]
 
     # -- neighbor sample gathering ---------------------------------------
     def _avail_for_intra(self, avail: bool, nb_addr: int) -> bool:
@@ -174,7 +186,7 @@ class IntraReconstructor:
             pred = self._pred_block4(addr, ioff, joff, px, py, mode)
             levels = st.luma_levels[addr, blk]
             if levels.any():
-                coef = Q.dequant4x4(levels, qp)
+                coef = Q.dequant4x4(levels, qp, self._w4(0))
                 res = TR.inverse4x4(coef.astype(np.int64))
                 rec = _add_residual(pred, res, self.max_y)
             else:
@@ -247,7 +259,7 @@ class IntraReconstructor:
             pred = IP.pred8x8(mode, Pf, Lf, avail_u, avail_l, avail_ul, self.dc_y)
             levels = st.luma8_levels[addr, b8]
             if levels.any():
-                coef = Q.dequant8x8(levels, qp)
+                coef = Q.dequant8x8(levels, qp, self._w8(0))
                 res = TR.inverse8x8(coef.astype(np.int64))
                 rec = _add_residual(pred, res, self.max_y)
             else:
@@ -278,12 +290,12 @@ class IntraReconstructor:
         # DC path: inverse Hadamard of DC levels, then dequant
         dc_had = TR.hadamard4x4(st.luma_dc[addr].astype(np.int64))
         # NB: itrans_2 uses plain butterflies (no >>1), which hadamard4x4 is
-        dc = Q.dequant_luma_dc(dc_had, qp)
+        dc = Q.dequant_luma_dc(dc_had, qp, self._w4(0))
         rec = np.empty((16, 16), np.int32)
         for blk in range(16):
             bx, by = M.BLK4_TO_XY[blk]
             levels = st.luma_levels[addr, blk]
-            coef = Q.dequant4x4(levels, qp).astype(np.int64)
+            coef = Q.dequant4x4(levels, qp, self._w4(0)).astype(np.int64)
             coef[0, 0] = dc[by, bx]
             res = TR.inverse4x4(coef)
             rec[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = _add_residual(
@@ -319,12 +331,12 @@ class IntraReconstructor:
         cw, ch = self.sps.mb_chroma_size
         # DC: 2x2 hadamard of parsed DC levels, dequant (truncating shifts)
         dch = TR.hadamard2x2(st.chroma_dc[addr, uv].astype(np.int64))
-        dc = Q.dequant_chroma_dc(dch, qp_c)
+        dc = Q.dequant_chroma_dc(dch, qp_c, self._w4(1 + uv))
         rec = np.empty((ch, cw), np.int32)
         for blk in range(4):
             bx, by = blk & 1, blk >> 1
             levels = st.chroma_levels[addr, uv, blk]
-            coef = Q.dequant4x4(levels, qp_c).astype(np.int64)
+            coef = Q.dequant4x4(levels, qp_c, self._w4(1 + uv)).astype(np.int64)
             coef[0, 0] = dc[by, bx]
             res = TR.inverse4x4(coef)
             rec[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = _add_residual(
@@ -460,7 +472,7 @@ class PictureReconstructor(IntraReconstructor):
                 ioff, joff = (b8 & 1) * 8, (b8 >> 1) * 8
                 levels = st.luma8_levels[addr, b8]
                 if levels.any():
-                    coef = Q.dequant8x8(levels, qp)
+                    coef = Q.dequant8x8(levels, qp, self._w8(1))
                     res = TR.inverse8x8(coef.astype(np.int64))
                     out[joff : joff + 8, ioff : ioff + 8] = _add_residual(
                         pred_y[joff : joff + 8, ioff : ioff + 8], res, self.max_y
@@ -477,7 +489,7 @@ class PictureReconstructor(IntraReconstructor):
                 ioff, joff = int(bx) * 4, int(by) * 4
                 levels = st.luma_levels[addr, blk]
                 if levels.any():
-                    coef = Q.dequant4x4(levels, qp)
+                    coef = Q.dequant4x4(levels, qp, self._w4(3))
                     res = TR.inverse4x4(coef.astype(np.int64))
                     out[joff : joff + 4, ioff : ioff + 4] = _add_residual(
                         pred_y[joff : joff + 4, ioff : ioff + 4], res, self.max_y
@@ -499,12 +511,12 @@ class PictureReconstructor(IntraReconstructor):
         st = self.st
         cw, ch = self.sps.mb_chroma_size
         dch = TR.hadamard2x2(st.chroma_dc[addr, uv].astype(np.int64))
-        dc = Q.dequant_chroma_dc(dch, qp_c)
+        dc = Q.dequant_chroma_dc(dch, qp_c, self._w4(4 + uv))
         rec = np.empty((ch, cw), np.int32)
         for blk in range(4):
             bx, by = blk & 1, blk >> 1
             levels = st.chroma_levels[addr, uv, blk]
-            coef = Q.dequant4x4(levels, qp_c).astype(np.int64)
+            coef = Q.dequant4x4(levels, qp_c, self._w4(4 + uv)).astype(np.int64)
             coef[0, 0] = dc[by, bx]
             if coef.any():
                 res = TR.inverse4x4(coef)

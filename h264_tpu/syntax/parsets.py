@@ -260,8 +260,20 @@ def _write_scaling_list(w: BitWriter, values: list[int], size: int):
         last_scale = cur
 
 
-_SL_DEFAULTS_4x4 = [DEFAULT_4x4_INTRA] * 3 + [DEFAULT_4x4_INTER] * 3
-_SL_DEFAULTS_8x8 = [DEFAULT_8x8_INTRA, DEFAULT_8x8_INTER]
+def _unzig(vals: list[int]) -> list[int]:
+    """Spec default lists are given in scan (transmission) order; resolve
+    to raster so they compose with the un-zigzagged parsed lists."""
+    scan = ZIGZAG_4x4 if len(vals) == 16 else ZIGZAG_8x8
+    out = [0] * len(vals)
+    for j, v in enumerate(vals):
+        out[scan[j]] = v
+    return out
+
+
+# raster-order default matrices (used for fall-back and use_default)
+_SL_DEFAULTS_4x4 = ([_unzig(DEFAULT_4x4_INTRA)] * 3
+                    + [_unzig(DEFAULT_4x4_INTER)] * 3)
+_SL_DEFAULTS_8x8 = [_unzig(DEFAULT_8x8_INTRA), _unzig(DEFAULT_8x8_INTER)]
 
 
 def _parse_scaling_matrices(r: BitReader, n_lists: int, sl4: list, sl8: list, present: list):
@@ -287,6 +299,53 @@ def _parse_scaling_matrices(r: BitReader, n_lists: int, sl4: list, sl8: list, pr
                 sl8[k] = vals
             else:
                 sl8[k] = list(_SL_DEFAULTS_8x8[k])
+
+
+def effective_scaling(sps: "SPS", pps: "PPS"):
+    """Effective WeightScale matrices for a picture, or None when flat.
+
+    Combines SPS and PPS scaling lists per Table 7-2: SPS lists were
+    resolved with fall-back rule A at parse time; PPS lists not present
+    fall back to the SPS-effective list for i in {0,3,6,7} (rule B) when
+    the SPS matrix is present, else rule A, and to the previous
+    PPS-effective list otherwise.  (ldecod/src/parset.c
+    activate_sps/activate_pps -> assign_quant_params, q_matrix semantics
+    of ldecod/src/quant.c.)
+
+    Returns (ws4, ws8): ws4 (6,4,4) int32 raster matrices for lists
+    Intra-Y/Cb/Cr, Inter-Y/Cb/Cr; ws8 (2,8,8) for Intra-Y8/Inter-Y8.
+    """
+    import numpy as np
+
+    seq = sps.seq_scaling_matrix_present_flag
+    pic = pps.pic_scaling_matrix_present_flag
+    if not seq and not pic:
+        return None
+    if seq:
+        sl4 = [list(v) for v in sps.scaling_lists_4x4]
+        sl8 = [list(v) for v in sps.scaling_lists_8x8]
+    else:
+        sl4 = [list(FLAT_16) for _ in range(6)]
+        sl8 = [list(FLAT_64) for _ in range(2)]
+    if pic:
+        for i in range(8):
+            if pps.pic_scaling_list_present[i]:
+                if i < 6:
+                    sl4[i] = list(pps.scaling_lists_4x4[i])
+                else:
+                    sl8[i - 6] = list(pps.scaling_lists_8x8[i - 6])
+            elif i in (0, 3):
+                if not seq:  # rule A: default matrix
+                    sl4[i] = list(_SL_DEFAULTS_4x4[i])
+                # rule B: keep SPS-effective (already in sl4)
+            elif i < 6:
+                sl4[i] = list(sl4[i - 1])
+            elif not seq:  # i in (6, 7), rule A
+                sl8[i - 6] = list(_SL_DEFAULTS_8x8[i - 6])
+            # i in (6,7) rule B: keep SPS-effective
+    ws4 = np.array(sl4, np.int32).reshape(6, 4, 4)
+    ws8 = np.array(sl8, np.int32).reshape(2, 8, 8)
+    return ws4, ws8
 
 
 # ---------------------------------------------------------------------------

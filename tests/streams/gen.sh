@@ -36,3 +36,13 @@ gen bref FramesToBeEncoded=4 NumberBFrames=2 FrameSkip=2 BReferencePictures=1
 genf wpfade_p FramesToBeEncoded=6 WeightedPrediction=1 NumberBFrames=0
 genf wpfade_b FramesToBeEncoded=4 WeightedBiprediction=1 NumberBFrames=2 FrameSkip=2
 genf wpfade_bimpl FramesToBeEncoded=4 WeightedBiprediction=2 NumberBFrames=2 FrameSkip=2
+
+# FRExt scaling-matrix streams (High profile, encoder.cfg defaults +
+# q_matrix.cfg; SPS- and PPS-signaled variants). ldecod output ==
+# encoder recon, saved as .rec.yuv.
+./lencod.exe -d encoder.cfg -p ScalingMatrixPresentFlag=1 \
+  -p FramesToBeEncoded=5 -p OutputFile=$DIR/qmat_sps.264 \
+  -p ReconFile=$DIR/qmat_sps.rec.yuv > $DIR/qmat_sps.log 2>&1 || true
+./lencod.exe -d encoder.cfg -p ScalingMatrixPresentFlag=2 \
+  -p FramesToBeEncoded=5 -p OutputFile=$DIR/qmat_pps.264 \
+  -p ReconFile=$DIR/qmat_pps.rec.yuv > $DIR/qmat_pps.log 2>&1 || true
