@@ -20,6 +20,7 @@ from . import mbtables as M
 from .state import PictureParseState
 
 _ZZ4 = M.ZZ_SCAN_4x4.tolist()
+_ZZ8 = M.ZZ_SCAN_8x8.tolist()
 DC_PRED = 2
 
 # T.NCBP is the encoder-direction table (cbp -> codeNum); invert per
@@ -124,7 +125,8 @@ class CavlcSliceParser:
         st.is_intra[addr] = mbt in (M.I4MB, M.I16MB, M.I8MB, M.IPCM)
 
         if mbt == M.IPCM:
-            raise NotImplementedError("CAVLC IPCM")
+            self._read_ipcm(addr)
+            return
 
         if mbt == M.P8x8:
             for b8 in range(4):
@@ -132,17 +134,31 @@ class CavlcSliceParser:
                 tab = M.SUB_MB_B if is_b else M.SUB_MB_P
                 st.b8mode[addr][b8], st.b8pdir[addr][b8] = tab[v]
 
-        if mbt == M.I4MB:
-            for blk in range(16):
-                bx, by = (int(v) for v in M.BLK4_TO_XY[blk])
-                mpm = self._mpm(addr, bx, by)
-                if r.u(1):
-                    mode = mpm
-                else:
-                    rem = r.u(3)
-                    mode = rem if rem < mpm else rem + 1
-                st.ipredmode[y4 + by, x4 + bx] = mode
-        if mbt in (M.I4MB, M.I16MB):
+        # transform_size_8x8_flag for I_NxN (before intra pred modes,
+        # ldecod/src/macroblock.c:781)
+        if mbt == M.I4MB and self.pps.transform_8x8_mode_flag:
+            if r.u(1):
+                st.transform8x8[addr] = 1
+                st.mb_type[addr] = M.I8MB
+                mbt = M.I8MB
+
+        if mbt in (M.I4MB, M.I8MB):
+            step = 2 if mbt == M.I8MB else 1
+            for b8 in range(4):
+                for j in range(0, 2, step):
+                    for i in range(0, 2, step):
+                        bx = ((b8 & 1) << 1) + i
+                        by = (b8 & 2) + j
+                        mpm = self._mpm(addr, bx, by)
+                        if r.u(1):
+                            mode = mpm
+                        else:
+                            rem = r.u(3)
+                            mode = rem if rem < mpm else rem + 1
+                        st.ipredmode[
+                            y4 + by : y4 + by + step, x4 + bx : x4 + bx + step
+                        ] = mode
+        if mbt in (M.I4MB, M.I8MB, M.I16MB):
             st.c_ipred_mode[addr] = r.ue()
 
         if mbt in (M.P16x16, M.P16x8, M.P8x16, M.P8x8):
@@ -152,10 +168,20 @@ class CavlcSliceParser:
             pass  # cbp from mb_type
         else:
             code = r.ue()
-            tab_idx = 0 if mbt == M.I4MB else 1
+            tab_idx = 0 if mbt in (M.I4MB, M.I8MB) else 1
             mode = 1 if self.sps.chroma_format_idc in (1, 2) else 0
             st.cbp[addr] = _CBP_FROM_CODE[mode][tab_idx][code]
         cbp = int(st.cbp[addr])
+
+        # transform_size_8x8_flag for inter MBs (after CBP,
+        # ldecod/src/macroblock.c:2915 need_transform_size_flag)
+        if (
+            mbt not in (M.I4MB, M.I8MB, M.I16MB)
+            and (cbp & 15)
+            and self.pps.transform_8x8_mode_flag
+            and self._no_part_less_than_8x8(addr)
+        ):
+            st.transform8x8[addr] = r.u(1)
 
         if cbp != 0 or mbt == M.I16MB:
             dq = r.se()
@@ -236,6 +262,49 @@ class CavlcSliceParser:
             pd = M.B_PDIR_8x16[raw]
             st.b8pdir[addr][0] = st.b8pdir[addr][2] = pd[0]
             st.b8pdir[addr][1] = st.b8pdir[addr][3] = pd[1]
+
+    def _no_part_less_than_8x8(self, addr: int) -> bool:
+        """JM need_transform_size_flag partition condition
+        (macroblock.c:2901), same rule as the CABAC parser."""
+        st = self.st
+        mbt = int(st.mb_type[addr])
+        if mbt in (M.P16x16, M.P16x8, M.P8x16):
+            return True
+        if mbt == 0 and self.slice_type == SliceType.B:
+            return bool(self.sps.direct_8x8_inference_flag)
+        if mbt == M.P8x8:
+            inference = bool(self.sps.direct_8x8_inference_flag)
+            for b in range(4):
+                b8m = int(st.b8mode[addr][b])
+                if not ((b8m == M.B8_DIRECT and inference) or b8m == M.B8_8x8):
+                    return False
+            return True
+        return False
+
+    def _read_ipcm(self, addr: int):
+        """pcm_alignment_zero_bit* + raw samples (spec §7.3.5,
+        ldecod/src/macroblock.c read_IPCM_coeffs_from_NAL)."""
+        st = self.st
+        r = self.r
+        r.align()
+        assert self.sps.bit_depth_luma == 8, "IPCM needs 8-bit depth"
+        luma = np.array(
+            [[r.u(8) for _ in range(16)] for _ in range(16)], np.int32
+        )
+        cw, ch = self.sps.mb_chroma_size
+        chroma = []
+        for _ in range(2 if self.sps.chroma_format_idc else 0):
+            chroma.append(np.array(
+                [[r.u(8) for _ in range(cw)] for _ in range(ch)], np.int32
+            ))
+        st.ipcm_samples[addr] = (luma, *chroma)
+        st.qp[addr] = self.qp
+        self._set_chroma_qp(addr)
+        # nnz = 16 on every covered block for CAVLC neighbor prediction
+        x4, y4 = st.mb_block_origin(addr)
+        st.nnz[0, y4 : y4 + 4, x4 : x4 + 4] = 16
+        x2, y2 = 2 * (addr % st.W), 2 * (addr // st.W)
+        st.nnz[1:, y2 : y2 + 2, x2 : x2 + 2] = 16
 
     def _mpm(self, addr, bx, by):
         st = self.st
@@ -349,6 +418,7 @@ class CavlcSliceParser:
                     st.cbp_blk[addr] |= 1
         if cbp & 15:
             maxc = 15 if mbt == M.I16MB else 16
+            t8 = bool(st.transform8x8[addr])
             for b8 in range(4):
                 for b4 in range(4):
                     blk = b8 * 4 + b4
@@ -359,6 +429,19 @@ class CavlcSliceParser:
                     nc = self._predict_nnz(addr, bx, by)
                     coeffs, n = decode_block(r, maxc, nc)
                     st.nnz[0, y4 + by, x4 + bx] = n
+                    if t8:
+                        # 8x8 coeffs ride 4 interleaved 4x4 blocks: scan
+                        # index k of sub-block b4 -> 8x8 scan 4k+b4
+                        # (ldecod/src/macroblock.c CAVLC 8x8 branch)
+                        nz = 0
+                        for k, lev in enumerate(coeffs):
+                            if lev:
+                                x, y = _ZZ8[(k << 2) + b4]
+                                st.luma8_levels[addr, b8, y, x] = lev
+                                nz += 1
+                        if nz:
+                            st.cbp_blk[addr] |= 51 << (4 * b8 - 2 * (b8 & 1))
+                        continue
                     off = 1 if mbt == M.I16MB else 0
                     nz = 0
                     for k, lev in enumerate(coeffs):

@@ -46,3 +46,19 @@ genf wpfade_bimpl FramesToBeEncoded=4 WeightedBiprediction=2 NumberBFrames=2 Fra
 ./lencod.exe -d encoder.cfg -p ScalingMatrixPresentFlag=2 \
   -p FramesToBeEncoded=5 -p OutputFile=$DIR/qmat_pps.264 \
   -p ReconFile=$DIR/qmat_pps.rec.yuv > $DIR/qmat_pps.log 2>&1 || true
+
+# CAVLC High-profile features: 8x8 transform + I8x8 (SymbolMode=0 on
+# encoder.cfg), and IPCM macroblocks in both entropy modes (random-noise
+# input at QP 8 makes PCM the cheapest RD mode; EnableIPCM=1).
+# noise_qcif.yuv: 2 frames of numpy default_rng(7) uint8 noise.
+./lencod.exe -d encoder.cfg -p SymbolMode=0 -p FramesToBeEncoded=5 \
+  -p OutputFile=$DIR/cavlc_t8.264 -p ReconFile=$DIR/cavlc_t8.rec.yuv \
+  > $DIR/cavlc_t8.log 2>&1 || true
+./lencod.exe -d encoder.cfg -p InputFile=noise_qcif.yuv -p SymbolMode=0 \
+  -p EnableIPCM=1 -p QPISlice=8 -p QPPSlice=8 -p QPBSlice=8 \
+  -p FramesToBeEncoded=2 -p OutputFile=$DIR/cavlc_ipcm.264 \
+  -p ReconFile=$DIR/cavlc_ipcm.rec.yuv > $DIR/cavlc_ipcm.log 2>&1 || true
+./lencod.exe -d encoder.cfg -p InputFile=noise_qcif.yuv \
+  -p EnableIPCM=1 -p QPISlice=8 -p QPPSlice=8 -p QPBSlice=8 \
+  -p FramesToBeEncoded=2 -p OutputFile=$DIR/cabac_ipcm.264 \
+  -p ReconFile=$DIR/cabac_ipcm.rec.yuv > $DIR/cabac_ipcm.log 2>&1 || true
