@@ -171,6 +171,21 @@ class H264Decoder:
                     and self.dpb.short_term_refs()
                 ):
                     yield from self._conceal_frame_gap(sh, sps)
+                elif (
+                    is_new and not self.conceal_mode and not sh.is_idr
+                    and not sps.gaps_in_frame_num_value_allowed_flag
+                    and self.dpb.short_term_refs()
+                    and sh.frame_num not in (
+                        self.prev_frame_num,
+                        (self.prev_frame_num + 1) % sps.max_frame_num,
+                    )
+                ):
+                    # JM strict behavior (ldecod/src/image.c:2394):
+                    # "An unintentional loss of pictures occurs! Exit"
+                    raise ValueError(
+                        f"frame_num gap ({self.prev_frame_num} -> "
+                        f"{sh.frame_num}) with concealment disabled"
+                    )
                 self.prev_frame_num = sh.frame_num
                 if pending is None:
                     if sh.is_idr:
