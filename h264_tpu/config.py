@@ -62,6 +62,40 @@ class EncoderRunConfig:
 _TRUE = ("1", "2", "3")
 
 
+def _tone_mapping_from_cfg(path: str):
+    """ToneMapping.cfg parser (lencod/src/sei.c ParseToneMappingConfigFile):
+    keyword = value lines; interval/pivot arrays are space-separated."""
+    from .syntax.sei import ToneMapping
+
+    vals: dict[str, str] = {}
+    try:
+        for line in open(path):
+            line = line.split("#")[0].split("##")[0]
+            if "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            vals[k.strip()] = v.strip()
+    except OSError:
+        return None
+    ints = lambda key: [int(x) for x in vals.get(key, "").split()]
+    m = ToneMapping(
+        tone_map_id=int(vals.get("tone_map_id", 0)),
+        cancel_flag=vals.get("tone_map_cancel_flag", "0") in _TRUE,
+        repetition_period=int(vals.get("tone_map_repetition_period", 1)),
+        coded_data_bit_depth=int(vals.get("coded_data_bit_depth", 8)),
+        sei_bit_depth=int(vals.get("sei_bit_depth", 8)),
+        model_id=int(vals.get("model_id", 0)),
+        min_value=int(vals.get("min_value", 0)),
+        max_value=int(vals.get("max_value", 255)),
+        sigmoid_midpoint=int(vals.get("sigmoid_midpoint", 128)),
+        sigmoid_width=int(vals.get("sigmoid_width", 64)),
+        start_of_coded_interval=ints("start_of_coded_interval"),
+        coded_pivot_value=ints("coded_pivot_value"),
+        sei_pivot_value=ints("sei_pivot_value"),
+    )
+    return m
+
+
 def encoder_config_from_params(params: dict[str, str]) -> EncoderRunConfig:
     """Map JM parameter names onto the TPU encoder's typed config."""
     g = params.get
@@ -90,6 +124,14 @@ def encoder_config_from_params(params: dict[str, str]) -> EncoderRunConfig:
             else 0.0
         ),
         rc_fps=float(g("FrameRate", 30.0)),
+        sei_text=(
+            g("SEIMessageText", "") if g("GenerateSEIMessage", "0") in _TRUE
+            else ""
+        ),
+        sei_tone_mapping=(
+            _tone_mapping_from_cfg(g("ToneMappingFile", "ToneMapping.cfg"))
+            if g("ToneMappingSEIPresentFlag", "0") in _TRUE else None
+        ),
     )
     return EncoderRunConfig(
         input_file=g("InputFile", ""),

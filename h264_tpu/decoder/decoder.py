@@ -38,6 +38,8 @@ class DecodedPicture:
     long_term: bool = False
     long_term_idx: int = -1
     _padded: tuple | None = None
+    sei: list = None  # SEI messages seen since the previous picture
+    tone_mapping: object = None  # active ToneMapping (sei.py), if any
 
     def to_yuv_bytes(self) -> bytes:
         return self.planes.to_yuv_bytes()
@@ -70,6 +72,8 @@ class H264Decoder:
         MBs keep the host raster path.  Bit-identical to the host path."""
         self.sps_map: dict[int, SPS] = {}
         self.use_device = use_device
+        self.pending_sei: list = []
+        self.active_tone_mapping = None
         self.pps_map: dict[int, PPS] = {}
         self.prev_poc_msb = 0
         self.prev_poc_lsb = 0
@@ -147,7 +151,19 @@ class H264Decoder:
         pending = None
         for nalu in nalus:
             t = nalu.nal_unit_type
-            if t == NalUnitType.SPS:
+            if t == NalUnitType.SEI:
+                from ..syntax.sei import ToneMapping, parse_sei
+
+                msgs = parse_sei(nalu.rbsp, self.sps_map)
+                self.pending_sei.extend(msgs)
+                for m in msgs:
+                    if isinstance(m, ToneMapping) and m.tone_map_id == 0:
+                        # applied to output only in RGB mode, like JM
+                        # (ldecod/src/output.c:395); tracked regardless
+                        self.active_tone_mapping = (
+                            None if m.cancel_flag else m
+                        )
+            elif t == NalUnitType.SPS:
                 s = parse_sps(nalu.rbsp)
                 self.sps_map[s.seq_parameter_set_id] = s
             elif t == NalUnitType.PPS:
@@ -392,7 +408,10 @@ class H264Decoder:
             is_ref=sh0.nal_ref_idc != 0,
             is_idr=sh0.is_idr,
             slice_type=sh0.slice_type,
+            sei=self.pending_sei,
+            tone_mapping=self.active_tone_mapping,
         )
+        self.pending_sei = []
         if sh0.is_idr and sh0.long_term_reference_flag:
             pic.long_term = True
             pic.long_term_idx = 0

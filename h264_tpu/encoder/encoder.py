@@ -81,6 +81,11 @@ class EncoderConfig:
     slice_group_change_direction: bool = False  # types 3-5
     slice_group_change_rate: int = 1  # types 3-5 (map units)
     slice_group_change_cycle: int = 1  # types 3-5
+    # SEI (lencod GenerateSEIMessage/SEIMessageText,
+    # ToneMappingSEIPresentFlag/ToneMappingFile, + recovery point)
+    sei_text: str = ""  # user_data_unregistered payload text
+    sei_tone_mapping: object = None  # syntax.sei.ToneMapping or None
+    sei_recovery_point: bool = False  # recovery point SEI at each IDR
 
 
 class H264Encoder:
@@ -156,10 +161,34 @@ class H264Encoder:
 
     # ------------------------------------------------------------------
     def headers(self) -> list[NalUnit]:
-        return [
+        out = [
             NalUnit(7, 3, write_sps(self.sps)),
             NalUnit(8, 3, write_pps(self.pps)),
         ]
+        sei = self._sequence_sei()
+        if sei:
+            out.append(sei)
+        return out
+
+    def _sequence_sei(self) -> NalUnit | None:
+        """One SEI NAL after the parameter sets (the lencod stream
+        layout for tone mapping / text SEI: lencod/src/image.c:1398,
+        sei.c write paths)."""
+        from ..syntax.sei import (
+            RecoveryPoint, ToneMapping, UserDataUnregistered, write_sei,
+        )
+
+        msgs = []
+        if self.cfg.sei_tone_mapping is not None:
+            msgs.append(self.cfg.sei_tone_mapping)
+        if self.cfg.sei_text:
+            msgs.append(UserDataUnregistered(
+                uuid=bytes(16), data=self.cfg.sei_text.encode()))
+        if self.cfg.sei_recovery_point:
+            msgs.append(RecoveryPoint(recovery_frame_cnt=0))
+        if not msgs:
+            return None
+        return NalUnit(6, 0, write_sei(msgs, {0: self.sps}))
 
     def encode_sequence(self, frames) -> bytes:
         """frames: list of (Y, U, V) uint8 arrays. Returns Annex-B bytes."""

@@ -518,9 +518,73 @@ def write_sps(s: SPS) -> bytes:
         w.ue(s.frame_crop_bottom_offset)
     w.flag(s.vui_parameters_present_flag)
     if s.vui_parameters_present_flag:
-        raise NotImplementedError("VUI writing lands with HRD support")
+        _write_vui(w, s.vui)
     w.rbsp_trailing_bits()
     return w.get_bytes()
+
+
+def _write_hrd(w: BitWriter, h: HRD) -> None:
+    w.ue(h.cpb_cnt_minus1)
+    w.u(h.bit_rate_scale, 4)
+    w.u(h.cpb_size_scale, 4)
+    for k in range(h.cpb_cnt_minus1 + 1):
+        w.ue(h.bit_rate_value_minus1[k])
+        w.ue(h.cpb_size_value_minus1[k])
+        w.u(h.cbr_flag[k], 1)
+    w.u(h.initial_cpb_removal_delay_length_minus1, 5)
+    w.u(h.cpb_removal_delay_length_minus1, 5)
+    w.u(h.dpb_output_delay_length_minus1, 5)
+    w.u(h.time_offset_length, 5)
+
+
+def _write_vui(w: BitWriter, v: VUI) -> None:
+    """vui_parameters() writer (spec §E.1.1, mirror of _parse_vui;
+    lencod/src/vlc.c GenerateVUISequenceParameters)."""
+    w.flag(v.aspect_ratio_info_present_flag)
+    if v.aspect_ratio_info_present_flag:
+        w.u(v.aspect_ratio_idc, 8)
+        if v.aspect_ratio_idc == 255:
+            w.u(v.sar_width, 16)
+            w.u(v.sar_height, 16)
+    w.flag(v.overscan_info_present_flag)
+    if v.overscan_info_present_flag:
+        w.flag(v.overscan_appropriate_flag)
+    w.flag(v.video_signal_type_present_flag)
+    if v.video_signal_type_present_flag:
+        w.u(v.video_format, 3)
+        w.flag(v.video_full_range_flag)
+        w.flag(v.colour_description_present_flag)
+        if v.colour_description_present_flag:
+            w.u(v.colour_primaries, 8)
+            w.u(v.transfer_characteristics, 8)
+            w.u(v.matrix_coefficients, 8)
+    w.flag(v.chroma_loc_info_present_flag)
+    if v.chroma_loc_info_present_flag:
+        w.ue(v.chroma_sample_loc_type_top_field)
+        w.ue(v.chroma_sample_loc_type_bottom_field)
+    w.flag(v.timing_info_present_flag)
+    if v.timing_info_present_flag:
+        w.u(v.num_units_in_tick, 32)
+        w.u(v.time_scale, 32)
+        w.flag(v.fixed_frame_rate_flag)
+    w.flag(v.nal_hrd is not None)
+    if v.nal_hrd is not None:
+        _write_hrd(w, v.nal_hrd)
+    w.flag(v.vcl_hrd is not None)
+    if v.vcl_hrd is not None:
+        _write_hrd(w, v.vcl_hrd)
+    if v.nal_hrd is not None or v.vcl_hrd is not None:
+        w.flag(v.low_delay_hrd_flag)
+    w.flag(v.pic_struct_present_flag)
+    w.flag(v.bitstream_restriction_flag)
+    if v.bitstream_restriction_flag:
+        w.flag(v.motion_vectors_over_pic_boundaries_flag)
+        w.ue(v.max_bytes_per_pic_denom)
+        w.ue(v.max_bits_per_mb_denom)
+        w.ue(v.log2_max_mv_length_horizontal)
+        w.ue(v.log2_max_mv_length_vertical)
+        w.ue(v.num_reorder_frames)
+        w.ue(v.max_dec_frame_buffering)
 
 
 # ---------------------------------------------------------------------------
@@ -623,7 +687,15 @@ def write_pps(p: PPS) -> bytes:
         w.flag(p.transform_8x8_mode_flag)
         w.flag(p.pic_scaling_matrix_present_flag)
         if p.pic_scaling_matrix_present_flag:
-            raise NotImplementedError("PPS scaling matrix writing")
+            n = 6 + (2 if p.transform_8x8_mode_flag else 0)
+            for i in range(n):
+                w.flag(p.pic_scaling_list_present[i])
+                if not p.pic_scaling_list_present[i]:
+                    continue
+                if i < 6:
+                    _write_scaling_list(w, p.scaling_lists_4x4[i], 16)
+                else:
+                    _write_scaling_list(w, p.scaling_lists_8x8[i - 6], 64)
         w.se(
             p.second_chroma_qp_index_offset
             if p.second_chroma_qp_index_offset is not None
