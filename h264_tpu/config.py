@@ -62,6 +62,42 @@ class EncoderRunConfig:
 _TRUE = ("1", "2", "3")
 
 
+def _qmatrix_from_cfg(path: str):
+    """q_matrix.cfg parser (lencod/src/q_matrix.c ParseMatrix): named
+    matrices in raster order; a leading 0 selects the default matrix.
+    Later duplicates override (JM parses sequentially)."""
+    import numpy as np
+
+    from .syntax.parsets import (
+        _SL_DEFAULTS_4x4, _SL_DEFAULTS_8x8, FLAT_16, FLAT_64,
+    )
+
+    names4 = ["INTRA4X4_LUMA", "INTRA4X4_CHROMAU", "INTRA4X4_CHROMAV",
+              "INTER4X4_LUMA", "INTER4X4_CHROMAU", "INTER4X4_CHROMAV"]
+    names8 = ["INTRA8X8_LUMA", "INTER8X8_LUMA"]
+    sl4 = [list(FLAT_16) for _ in range(6)]
+    sl8 = [list(FLAT_64) for _ in range(2)]
+    try:
+        text = open(path).read()
+    except OSError:
+        return None
+    import re
+
+    for m in re.finditer(r"(\w+)\s*=\s*((?:[\s,]*\d+)+)", text):
+        name = m.group(1)
+        vals = [int(x) for x in re.findall(r"\d+", m.group(2))]
+        if name in names4 and len(vals) >= 16:
+            i = names4.index(name)
+            sl4[i] = (list(_SL_DEFAULTS_4x4[i]) if vals[0] == 0
+                      else vals[:16])
+        elif name in names8 and len(vals) >= 64:
+            i = names8.index(name)
+            sl8[i] = (list(_SL_DEFAULTS_8x8[i]) if vals[0] == 0
+                      else vals[:64])
+    return (np.array(sl4, np.int32).reshape(6, 4, 4),
+            np.array(sl8, np.int32).reshape(2, 8, 8))
+
+
 def _tone_mapping_from_cfg(path: str):
     """ToneMapping.cfg parser (lencod/src/sei.c ParseToneMappingConfigFile):
     keyword = value lines; interval/pivot arrays are space-separated."""
@@ -127,6 +163,11 @@ def encoder_config_from_params(params: dict[str, str]) -> EncoderRunConfig:
         sei_text=(
             g("SEIMessageText", "") if g("GenerateSEIMessage", "0") in _TRUE
             else ""
+        ),
+        transform8x8=g("Transform8x8Mode", "0") not in ("0",),
+        scaling_lists=(
+            _qmatrix_from_cfg(g("QmatrixFile", "q_matrix.cfg"))
+            if g("ScalingMatrixPresentFlag", "0") in _TRUE else None
         ),
         sei_tone_mapping=(
             _tone_mapping_from_cfg(g("ToneMappingFile", "ToneMapping.cfg"))

@@ -86,6 +86,10 @@ class EncoderConfig:
     sei_text: str = ""  # user_data_unregistered payload text
     sei_tone_mapping: object = None  # syntax.sei.ToneMapping or None
     sei_recovery_point: bool = False  # recovery point SEI at each IDR
+    # FRExt / High profile (lencod Transform8x8Mode,
+    # ScalingMatrixPresentFlag + q_matrix.cfg)
+    transform8x8: bool = False  # allow 8x8 transform (host path)
+    scaling_lists: object = None  # (ws4 (6,4,4), ws8 (2,8,8)) raster or None
 
 
 class H264Encoder:
@@ -109,6 +113,33 @@ class H264Encoder:
             log2_max_frame_num_minus4=4,
         )
         self.pps = PPS(entropy_coding_mode_flag=(cfg.entropy == "cabac"))
+        if cfg.transform8x8 or cfg.scaling_lists is not None:
+            # High profile (FREXT_HP): 8x8 transform / scaling matrices
+            # are signalled there (lencod/src/parset.c GenerateSPS)
+            self.sps.profile_idc = 100
+            self.pps.transform_8x8_mode_flag = bool(cfg.transform8x8)
+            self.pps.second_chroma_qp_index_offset = 0
+            assert not cfg.fast, (
+                "FRExt tools run on the host path (fast=False)")
+        if cfg.scaling_lists is not None:
+            import numpy as _np
+
+            ws4, ws8 = cfg.scaling_lists
+            self.sps.seq_scaling_matrix_present_flag = True
+            self.sps.scaling_list_present = [True] * 8
+            self.sps.scaling_lists_4x4 = [
+                [int(v) for v in _np.asarray(ws4[i]).reshape(16)]
+                for i in range(6)
+            ]
+            self.sps.scaling_lists_8x8 = [
+                [int(v) for v in _np.asarray(ws8[i]).reshape(64)]
+                for i in range(2)
+            ]
+            self._ws4 = _np.asarray(ws4, _np.int32).reshape(6, 4, 4)
+            self._ws8 = _np.asarray(ws8, _np.int32).reshape(2, 8, 8)
+        else:
+            self._ws4 = None
+            self._ws8 = None
         if cfg.row_slices > 1:
             # tile-row slices are deblocked independently (idc=2): the
             # slice header must carry the filter-control fields
@@ -1221,13 +1252,14 @@ class _FrameEncoder:
         dc = coefs[:, :, 0, 0].copy()  # [br][bc]
         # DC path: hadamard + quant
         dch = TR.hadamard4x4(dc) >> 1  # JM: (hadamard)>>1 before quant
-        dc_lev = Q.quant_luma_dc(dch, qp, intra=True)
+        wi = None if self.p._ws4 is None else self.p._ws4[0]
+        dc_lev = Q.quant_luma_dc(dch, qp, intra=True, weight_scale=wi)
         st.luma_dc[addr] = dc_lev
         if dc_lev.any():
             st.cbp_blk[addr] |= 1
         # AC path
         offset = Q.default_offset4(qp, True)
-        lev = Q.quant4x4(coefs, qp, offset)
+        lev = Q.quant4x4(coefs, qp, offset, wi)
         lev[:, :, 0, 0] = 0
         cbp_ac = 0
         for br in range(4):
@@ -1241,12 +1273,14 @@ class _FrameEncoder:
         st.i16mode[addr] = mode
         st.cbp[addr] = cbp_ac
         # reconstruct exactly like the decoder
-        dc_deq = Q.dequant_luma_dc(TR.hadamard4x4(dc_lev.astype(np.int64)), qp)
+        dc_deq = Q.dequant_luma_dc(
+            TR.hadamard4x4(dc_lev.astype(np.int64)), qp, wi)
         rec = np.empty((16, 16), np.int32)
         for br in range(4):
             for bc in range(4):
                 blk = int(M.XY_TO_BLK4[br, bc])
-                coef = Q.dequant4x4(st.luma_levels[addr, blk], qp).astype(np.int64)
+                coef = Q.dequant4x4(
+                    st.luma_levels[addr, blk], qp, wi).astype(np.int64)
                 coef[0, 0] = dc_deq[br, bc]
                 r4 = TR.inverse4x4(coef)
                 rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = _add_residual(
@@ -1265,6 +1299,7 @@ class _FrameEncoder:
         st.b8mode[addr] = M.IBLOCK
         st.b8pdir[addr] = -1
         offset = Q.default_offset4(qp, True)
+        wi = None if self.p._ws4 is None else self.p._ws4[0]
         cbp = 0
         for blk in range(16):
             bx, by = (int(v) for v in M.BLK4_TO_XY[blk])
@@ -1275,12 +1310,12 @@ class _FrameEncoder:
             st.ipredmode[y4o + by, x4o + bx] = mode
             res = (orig - pred).astype(np.int64)
             coef = TR.forward4x4(res)
-            lev = Q.quant4x4(coef, qp, offset)
+            lev = Q.quant4x4(coef, qp, offset, wi)
             if lev.any():
                 st.luma_levels[addr, blk] = lev
                 cbp |= 1 << (2 * (by // 2) + (bx // 2))
                 st.cbp_blk[addr] |= 1 << (4 * by + bx)
-                deq = Q.dequant4x4(lev, qp).astype(np.int64)
+                deq = Q.dequant4x4(lev, qp, wi).astype(np.int64)
                 rec = _add_residual(pred, TR.inverse4x4(deq))
             else:
                 rec = pred
@@ -1391,10 +1426,12 @@ class _FrameEncoder:
             coefs = TR.forward4x4(blk_rc)
             dc = coefs[:, :, 0, 0].copy()
             dch = TR.hadamard2x2(dc)
-            dc_lev = Q.quant_chroma_dc(dch, qp_c, intra)
+            wc = (None if self.p._ws4 is None
+                  else self.p._ws4[(1 if intra else 4) + uv])
+            dc_lev = Q.quant_chroma_dc(dch, qp_c, intra, weight_scale=wc)
             st.chroma_dc[addr, uv] = dc_lev
             offset = Q.default_offset4(qp_c, intra)
-            lev = Q.quant4x4(coefs, qp_c, offset)
+            lev = Q.quant4x4(coefs, qp_c, offset, wc)
             lev[:, :, 0, 0] = 0
             for br in range(2):
                 for bc in range(2):
@@ -1410,12 +1447,14 @@ class _FrameEncoder:
         for uv, (orig_plane, rec_plane) in enumerate(((self.U, pl.U), (self.V, pl.V))):
             pred, qp_c = recs[uv]
             dch2 = TR.hadamard2x2(st.chroma_dc[addr, uv].astype(np.int64))
-            dc_deq = Q.dequant_chroma_dc(dch2, qp_c)
+            wc = (None if self.p._ws4 is None
+                  else self.p._ws4[(1 if intra else 4) + uv])
+            dc_deq = Q.dequant_chroma_dc(dch2, qp_c, wc)
             rec = np.empty((ch, cw), np.int32)
             for br in range(2):
                 for bc in range(2):
                     coef = Q.dequant4x4(
-                        st.chroma_levels[addr, uv, br * 2 + bc], qp_c
+                        st.chroma_levels[addr, uv, br * 2 + bc], qp_c, wc
                     ).astype(np.int64)
                     coef[0, 0] = dc_deq[br, bc]
                     if coef.any():
@@ -1492,20 +1531,7 @@ class _FrameEncoder:
         mx, my = self._mb_px(addr)
         x4, y4 = st.mb_block_origin(addr)
         qp = self.qp
-        orig = self.Y[my : my + 16, mx : mx + 16]
-        res = (orig - pred).astype(np.int64)
-        blk_rc = res.reshape(4, 4, 4, 4).swapaxes(1, 2)
-        coefs = TR.forward4x4(blk_rc)
-        offset = Q.default_offset4(qp, False)
-        lev = Q.quant4x4(coefs, qp, offset)
-        cbp = 0
-        for br in range(4):
-            for bc in range(4):
-                blk = int(M.XY_TO_BLK4[br, bc])
-                if lev[br, bc].any():
-                    st.luma_levels[addr, blk] = lev[br, bc]
-                    cbp |= 1 << (2 * (br // 2) + (bc // 2))
-                    st.cbp_blk[addr] |= 1 << (4 * br + bc)
+        self._luma_residual_recon(addr, pred, allow8x8=True)
         st.mb_type[addr] = M.P16x16
         st.b8mode[addr] = 1
         st.b8pdir[addr] = 0
@@ -1513,7 +1539,6 @@ class _FrameEncoder:
         st.mv[0, y4 : y4 + 4, x4 : x4 + 4] = mv
         st.ref_pic_id[0, y4 : y4 + 4, x4 : x4 + 4] = self.refs[0][0]
         st.mvd[0, y4 : y4 + 4, x4 : x4 + 4] = (mv[0] - pmx, mv[1] - pmy)
-        st.cbp[addr] = cbp
 
         # chroma MC prediction
         cw, ch = self.sps.mb_chroma_size
@@ -1539,25 +1564,6 @@ class _FrameEncoder:
                 st.mb_type[addr] = M.PSKIP
                 st.b8mode[addr] = 0
                 st.mvd[0, y4 : y4 + 4, x4 : x4 + 4] = 0
-
-        # luma recon
-        rec = np.empty((16, 16), np.int32)
-        for br in range(4):
-            for bc in range(4):
-                blk = int(M.XY_TO_BLK4[br, bc])
-                levels = st.luma_levels[addr, blk]
-                if levels.any():
-                    deq = Q.dequant4x4(levels, qp).astype(np.int64)
-                    rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = _add_residual(
-                        pred[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4],
-                        TR.inverse4x4(deq),
-                    )
-                else:
-                    rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = pred[
-                        br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4
-                    ].clip(0, 255)
-        pl.Y[my : my + 16, mx : mx + 16] = rec
-
 
     # ------------------------------------------------------------------
     # B slices (md_low-style decision over direct/L0/L1/BI/intra;
@@ -1660,43 +1666,89 @@ class _FrameEncoder:
                 pred_v[by * 2 : by * 2 + 2, bx * 2 : bx * 2 + 2] = vblk
         return pred_y, pred_u, pred_v
 
-    def _luma_residual_recon(self, addr: int, pred) -> None:
-        """4x4-transform luma residual coding + exact reconstruction
-        against `pred`; sets the luma cbp bits."""
+    def _luma_residual_recon(self, addr: int, pred, allow8x8=False) -> None:
+        """Inter luma residual coding + exact reconstruction against
+        `pred`; sets the luma cbp bits.  With allow8x8 and
+        cfg.transform8x8, an RD-style 4x4-vs-8x8 transform-size decision
+        is made per MB (lencod/src/transform8x8.c:258
+        TransformDecision, re-done as a two-candidate SSD+rate compare);
+        scaling matrices feed quant and dequant when configured."""
         st, pl = self.st, self.pl
         mx, my = self._mb_px(addr)
         qp = self.qp
         orig = self.Y[my : my + 16, mx : mx + 16]
         res = (orig - pred).astype(np.int64)
+        w4 = None if self.p._ws4 is None else self.p._ws4[3]
         blk_rc = res.reshape(4, 4, 4, 4).swapaxes(1, 2)
         coefs = TR.forward4x4(blk_rc)
-        offset = Q.default_offset4(qp, False)
-        lev = Q.quant4x4(coefs, qp, offset)
+        lev4 = Q.quant4x4(coefs, qp, Q.default_offset4(qp, False), w4)
+        rec4 = self._recon_luma4(pred, lev4, qp, w4)
+        use8 = False
+        if allow8x8 and self.p.cfg.transform8x8:
+            w8 = None if self.p._ws8 is None else self.p._ws8[1]
+            blk8 = res.reshape(2, 8, 2, 8).swapaxes(1, 2)
+            lev8 = Q.quant8x8(
+                TR.forward8x8(blk8), qp, Q.default_offset8(qp, False), w8)
+            rec8 = self._recon_luma8(pred, lev8, qp, w8)
+            lam = self.p.lambda_mode
+            c4 = float(((orig - rec4) ** 2).sum()) + lam * _est_coef_bits(lev4)
+            c8 = float(((orig - rec8) ** 2).sum()) + lam * _est_coef_bits(lev8)
+            use8 = c8 < c4
         cbp = 0
-        for br in range(4):
-            for bc in range(4):
-                blk = int(M.XY_TO_BLK4[br, bc])
-                if lev[br, bc].any():
-                    st.luma_levels[addr, blk] = lev[br, bc]
-                    cbp |= 1 << (2 * (br // 2) + (bc // 2))
-                    st.cbp_blk[addr] |= 1 << (4 * br + bc)
+        if use8:
+            st.transform8x8[addr] = 1
+            for b8 in range(4):
+                qr, qc = b8 >> 1, b8 & 1
+                if lev8[qr, qc].any():
+                    st.luma8_levels[addr, b8] = lev8[qr, qc]
+                    cbp |= 1 << b8
+                    st.cbp_blk[addr] |= 51 << (4 * b8 - 2 * (b8 & 1))
+            pl.Y[my : my + 16, mx : mx + 16] = rec8
+        else:
+            st.transform8x8[addr] = 0
+            for br in range(4):
+                for bc in range(4):
+                    blk = int(M.XY_TO_BLK4[br, bc])
+                    if lev4[br, bc].any():
+                        st.luma_levels[addr, blk] = lev4[br, bc]
+                        cbp |= 1 << (2 * (br // 2) + (bc // 2))
+                        st.cbp_blk[addr] |= 1 << (4 * br + bc)
+            pl.Y[my : my + 16, mx : mx + 16] = rec4
         st.cbp[addr] = cbp
+
+    def _recon_luma4(self, pred, lev4, qp, w4):
         rec = np.empty((16, 16), np.int32)
         for br in range(4):
             for bc in range(4):
-                blk = int(M.XY_TO_BLK4[br, bc])
-                levels = st.luma_levels[addr, blk]
-                if levels.any():
-                    deq = Q.dequant4x4(levels, qp).astype(np.int64)
-                    rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = _add_residual(
-                        pred[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4],
-                        TR.inverse4x4(deq),
+                if lev4[br, bc].any():
+                    deq = Q.dequant4x4(lev4[br, bc], qp, w4).astype(np.int64)
+                    rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = (
+                        _add_residual(
+                            pred[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4],
+                            TR.inverse4x4(deq),
+                        )
                     )
                 else:
                     rec[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4] = pred[
                         br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4
                     ].clip(0, 255)
-        pl.Y[my : my + 16, mx : mx + 16] = rec
+        return rec
+
+    def _recon_luma8(self, pred, lev8, qp, w8):
+        rec = np.empty((16, 16), np.int32)
+        for qr in range(2):
+            for qc in range(2):
+                po = pred[qr * 8 : qr * 8 + 8, qc * 8 : qc * 8 + 8]
+                if lev8[qr, qc].any():
+                    deq = Q.dequant8x8(lev8[qr, qc], qp, w8).astype(np.int64)
+                    rec[qr * 8 : qr * 8 + 8, qc * 8 : qc * 8 + 8] = (
+                        _add_residual(po, TR.inverse8x8(deq))
+                    )
+                else:
+                    rec[qr * 8 : qr * 8 + 8, qc * 8 : qc * 8 + 8] = (
+                        po.clip(0, 255)
+                    )
+        return rec
 
     def _commit_b(self, addr: int, pdir: int, mvs, pmvs):
         st = self.st
@@ -1718,7 +1770,7 @@ class _FrameEncoder:
                 st.ref_pic_id[lst, y4 : y4 + 4, x4 : x4 + 4] = -(10**9)
                 st.mvd[lst, y4 : y4 + 4, x4 : x4 + 4] = 0
         pred_y, pred_u, pred_v = self._pred_from_state(addr)
-        self._luma_residual_recon(addr, pred_y)
+        self._luma_residual_recon(addr, pred_y, allow8x8=True)
         self._chroma_residual(addr, mc_pred=(pred_u, pred_v))
 
     def _commit_direct(self, addr: int, pred):
@@ -1733,6 +1785,16 @@ class _FrameEncoder:
         self._chroma_residual(addr, mc_pred=(pred_u, pred_v))
         if int(st.cbp[addr]) == 0:
             st.skip_flag[addr] = 1
+
+
+def _est_coef_bits(lev) -> int:
+    """Cheap coefficient-rate estimate for the transform-size decision:
+    2*bitlength(|l|)+1 per nonzero (Exp-Golomb-shaped)."""
+    a = np.abs(np.asarray(lev, np.int64)).ravel()
+    nz = a[a > 0]
+    if not nz.size:
+        return 0
+    return int((2 * np.floor(np.log2(nz)).astype(np.int64) + 3).sum())
 
 
 def _mv_bits_vec(d):

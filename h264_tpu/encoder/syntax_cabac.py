@@ -153,6 +153,15 @@ class CabacSliceWriter:
             self._write_cbp(addr, cbp)
             if cbp == 0:
                 self.last_dquant = 0
+        # transform_size_8x8_flag for inter MBs (after CBP; dual of the
+        # parser's need_transform_size condition, macroblock.c:2901)
+        if (
+            mbt not in (M.I4MB, M.I8MB, M.I16MB)
+            and (cbp & 15)
+            and self.pps.transform_8x8_mode_flag
+            and self._no_part_less_than_8x8(addr)
+        ):
+            self._write_transform_size(addr, bool(st.transform8x8[addr]))
         if cbp != 0 or mbt == M.I16MB:
             dq = int(st.qp[addr]) - self.qp
             self.qp = int(st.qp[addr])
@@ -347,6 +356,22 @@ class CabacSliceWriter:
             return
         enc.decision(g, base + 3, 1)
         enc.decision(g, base + 3, act - 10)
+
+    def _no_part_less_than_8x8(self, addr: int) -> bool:
+        st = self.st
+        mbt = int(st.mb_type[addr])
+        if mbt in (M.P16x16, M.P16x8, M.P8x16):
+            return True
+        if mbt == 0 and self.slice_type == SliceType.B:
+            return bool(self.sps.direct_8x8_inference_flag)
+        if mbt == M.P8x8:
+            inference = bool(self.sps.direct_8x8_inference_flag)
+            for b in range(4):
+                b8m = int(st.b8mode[addr][b])
+                if not ((b8m == M.B8_DIRECT and inference) or b8m == M.B8_8x8):
+                    return False
+            return True
+        return False
 
     def _write_transform_size(self, addr: int, flag: bool):
         st = self.st

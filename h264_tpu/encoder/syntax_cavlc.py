@@ -20,6 +20,7 @@ from ..syntax.parsets import PPS, SPS
 from ..syntax.slice_header import SliceHeader, SliceType
 
 _ZZ4 = M.ZZ_SCAN_4x4
+_ZZ8 = M.ZZ_SCAN_8x8
 # encoder-side NCBP maps cbp -> codeNum directly (lencod/src/vlc.c
 # linfo_cbp_intra: ue(NCBP[1][cbp][0]))
 _CBP_CODE_INTRA = {cbp: T.NCBP[1][cbp][0] for cbp in range(48)}
@@ -99,7 +100,7 @@ class CavlcSliceWriter:
                 + 4 * {0: 0, 16: 1, 32: 2, 15: 3, 31: 4, 47: 5}[cbp]
             )
             val = (24 if is_b else 6 if is_p else 1) + i16off
-        elif mbt == M.I4MB:
+        elif mbt in (M.I4MB, M.I8MB):
             val = 23 if is_b else 5 if is_p else 0
         elif is_b:
             val = self._b_mb_type(addr, mbt)
@@ -124,21 +125,30 @@ class CavlcSliceWriter:
                                M.B8_4x4: 3}[b8m]
                 w.ue(sub_val)
 
+        # transform_size_8x8_flag for I_NxN (before intra pred modes,
+        # lencod/src/macroblock.c UVLC write order)
+        if mbt in (M.I4MB, M.I8MB) and self.pps.transform_8x8_mode_flag:
+            w.u(1 if mbt == M.I8MB else 0, 1)
+
         # intra prediction info
-        if mbt == M.I4MB:
-            for blk in range(16):
-                bx, by = M.BLK4_TO_XY[blk]
-                mode = int(st.ipredmode[y4 + by, x4 + bx])
-                mpm = self._mpm(addr, int(bx), int(by))
-                if mode == mpm:
-                    w.u(1, 1)
-                    self._t("ipred", -1)
-                else:
-                    rem = mode if mode < mpm else mode - 1
-                    w.u(0, 1)
-                    w.u(rem, 3)
-                    self._t("ipred", rem)
-        if mbt in (M.I4MB, M.I16MB):
+        if mbt in (M.I4MB, M.I8MB):
+            step = 2 if mbt == M.I8MB else 1
+            for b8 in range(4):
+                for j in range(0, 2, step):
+                    for i in range(0, 2, step):
+                        bx = ((b8 & 1) << 1) + i
+                        by = (b8 & 2) + j
+                        mode = int(st.ipredmode[y4 + by, x4 + bx])
+                        mpm = self._mpm(addr, bx, by)
+                        if mode == mpm:
+                            w.u(1, 1)
+                            self._t("ipred", -1)
+                        else:
+                            rem = mode if mode < mpm else mode - 1
+                            w.u(0, 1)
+                            w.u(rem, 3)
+                            self._t("ipred", rem)
+        if mbt in (M.I4MB, M.I8MB, M.I16MB):
             w.ue(int(st.c_ipred_mode[addr]))
             self._t("cipred", int(st.c_ipred_mode[addr]))
 
@@ -148,9 +158,20 @@ class CavlcSliceWriter:
 
         # cbp
         if mbt != M.I16MB:
-            table = _CBP_CODE_INTRA if mbt in (M.I4MB,) else _CBP_CODE_INTER
+            table = (_CBP_CODE_INTRA if mbt in (M.I4MB, M.I8MB)
+                     else _CBP_CODE_INTER)
             w.ue(table[cbp])
             self._t("cbp", cbp)
+
+        # inter transform_size_8x8_flag after CBP (need_transform_size,
+        # lencod/src/macroblock.c:2915 UVLC write point)
+        if (
+            mbt not in (M.I4MB, M.I8MB, M.I16MB)
+            and (cbp & 15)
+            and self.pps.transform_8x8_mode_flag
+            and self._no_part_less_than_8x8(addr)
+        ):
+            w.u(int(st.transform8x8[addr]), 1)
 
         if cbp != 0 or mbt == M.I16MB:
             dq = int(self._dquant(addr))
@@ -172,6 +193,8 @@ class CavlcSliceWriter:
         types = st.mb_type[np.asarray(mb_addrs, np.int64)]
         if not np.isin(types, supported).all():
             return False
+        if self.pps.transform_8x8_mode_flag:
+            return False  # transform-size syntax rides the Python writer
         if np.isin(types, (M.PSKIP,)).any() and not is_p:
             return False
         from .. import native
@@ -192,6 +215,22 @@ class CavlcSliceWriter:
                 continue
             self.qp = int(st.qp[a])
         return True
+
+    def _no_part_less_than_8x8(self, addr: int) -> bool:
+        st = self.st
+        mbt = int(st.mb_type[addr])
+        if mbt in (M.P16x16, M.P16x8, M.P8x16):
+            return True
+        if mbt == 0 and self.sh.slice_type == SliceType.B:
+            return bool(self.sps.direct_8x8_inference_flag)
+        if mbt == M.P8x8:
+            inference = bool(self.sps.direct_8x8_inference_flag)
+            for b in range(4):
+                b8m = int(st.b8mode[addr][b])
+                if not ((b8m == M.B8_DIRECT and inference) or b8m == M.B8_8x8):
+                    return False
+            return True
+        return False
 
     def _dquant(self, addr: int) -> int:
         """mb_qp_delta derived from the per-MB qp sequence."""
@@ -335,6 +374,7 @@ class CavlcSliceWriter:
 
         if cbp & 15:
             maxc = 15 if mbt == M.I16MB else 16
+            t8 = bool(st.transform8x8[addr])
             for b8 in range(4):
                 for b4 in range(4):
                     blk = b8 * 4 + b4
@@ -342,11 +382,21 @@ class CavlcSliceWriter:
                     if not (cbp & (1 << b8)):
                         self.nnz[0, y4 + by, x4 + bx] = 0
                         continue
-                    levels = st.luma_levels[addr, blk]
-                    if mbt == M.I16MB:
-                        scan = [int(levels[y, x]) for (x, y) in _ZZ4[1:]]
+                    if t8:
+                        # 8x8 coeffs split over 4 interleaved 4x4 CAVLC
+                        # blocks: sub-block b4 takes 8x8-scan 4k+b4
+                        lv = st.luma8_levels[addr, b8]
+                        scan = [
+                            int(lv[_ZZ8[(k << 2) + b4][1],
+                                   _ZZ8[(k << 2) + b4][0]])
+                            for k in range(16)
+                        ]
                     else:
-                        scan = [int(levels[y, x]) for (x, y) in _ZZ4]
+                        levels = st.luma_levels[addr, blk]
+                        if mbt == M.I16MB:
+                            scan = [int(levels[y, x]) for (x, y) in _ZZ4[1:]]
+                        else:
+                            scan = [int(levels[y, x]) for (x, y) in _ZZ4]
                     nc = self._predict_nnz(addr, bx, by)
                     n = encode_block(w, scan, maxc, nc, trace=self.trace)
                     self.nnz[0, y4 + by, x4 + bx] = n

@@ -786,6 +786,21 @@ static void write_mb(wr_t *w, int addr) {
         write_cbp(w, addr, cbp);
         if (cbp == 0) w->last_dquant = 0;
     }
+    /* inter transform_size_8x8_flag after CBP (need_transform_size,
+     * macroblock.c:2901); direct_8x8_inference is always 1 here */
+    if (mbt != I4MB && mbt != I8MB && mbt != I16MB && (cbp & 15)
+        && w->t8_mode) {
+        int eligible = (mbt == P16x16 || mbt == P16x8 || mbt == P8x16
+                        || (mbt == 0 && w->slice_type == ST_B));
+        if (mbt == P8x8M) {
+            eligible = 1;
+            for (int b = 0; b < 4; b++) {
+                int b8m = w->b8mode[4 * addr + b];
+                if (b8m != B8_DIRECT && b8m != B8_8x8) eligible = 0;
+            }
+        }
+        if (eligible) write_transform_size(w, addr, w->t8[addr]);
+    }
     if (cbp != 0 || mbt == I16MB) {
         int dq = w->qp[addr] - w->cur_qp;
         w->cur_qp = w->qp[addr];

@@ -224,22 +224,26 @@ def default_offset8(qp: int, intra: bool):
     return jnp.int32(base) << (Q_BITS_8 + per - 11)
 
 
-def quant_luma_dc(dc_hadamard, qp: int, intra: bool = True):
+def quant_luma_dc(dc_hadamard, qp: int, intra: bool = True, weight_scale=None):
     """Quantize the 4x4 Hadamard of luma DC: (|c| * MF00 + 2*offset) >> (qbits+1)."""
     per, rem = qp // 6, qp % 6
     qbits = Q_BITS_4 + per
-    mf00 = _gather6(QUANT4, rem)[0, 0]
+    mf6 = (QUANT4 if weight_scale is None
+           else _mf_weighted6(QUANT4, weight_scale, 4))
+    mf00 = _gather6(mf6, rem)[0, 0]
     offset = default_offset4(qp, intra) * 2
     c = dc_hadamard
     lev = (abs(c) * mf00 + offset) >> (qbits + 1)
     return _copysign(lev, c)
 
 
-def quant_chroma_dc(dc_hadamard, qp_c: int, intra: bool):
+def quant_chroma_dc(dc_hadamard, qp_c: int, intra: bool, weight_scale=None):
     """Quantize 2x2 chroma DC Hadamard: (|c| * MF00 + 2*offset) >> (qbits+1)."""
     per, rem = qp_c // 6, qp_c % 6
     qbits = Q_BITS_4 + per
-    mf00 = _gather6(QUANT4, rem)[0, 0]
+    mf6 = (QUANT4 if weight_scale is None
+           else _mf_weighted6(QUANT4, weight_scale, 4))
+    mf00 = _gather6(mf6, rem)[0, 0]
     offset = default_offset4(qp_c, intra) * 2
     c = dc_hadamard
     lev = (abs(c) * mf00 + offset) >> (qbits + 1)
