@@ -69,6 +69,15 @@ class BitWriter:
         while self._nacc:
             self.u(1, 1)
 
+    def raw_bits(self) -> tuple[bytes, int]:
+        """(MSB-first bytes, bit count) of everything written so far,
+        without terminating — for re-appending into another writer."""
+        n = 8 * len(self._buf) + self._nacc
+        if self._nacc:
+            tail = (self._acc << (8 - self._nacc)) & 0xFF
+            return bytes(self._buf) + bytes([tail]), n
+        return bytes(self._buf), n
+
     def get_bytes(self) -> bytes:
         if self._nacc:
             raise ValueError("bitstream not byte-aligned; terminate first")

@@ -46,6 +46,11 @@ class CavlcSliceParser:
             sh.num_ref_idx_l0_active_minus1 + 1,
             sh.num_ref_idx_l1_active_minus1 + 1,
         )
+        # data partitioning: residual readers (ldecod/src/nal_part.c);
+        # None with dp=True means the partition was lost
+        self.dp = False
+        self.rB = None
+        self.rC = None
 
     def parse(self) -> list[int]:
         st = self.st
@@ -407,6 +412,17 @@ class CavlcSliceParser:
         mbt = int(st.mb_type[addr])
         cbp = int(st.cbp[addr])
         x4, y4 = st.mb_block_origin(addr)
+        if self.dp:
+            # category routing: intra coefficients ride partition B,
+            # inter coefficients partition C (spec §7.4.1 categories)
+            r = self.rB if st.is_intra[addr] else self.rC
+            if r is None:
+                # lost partition: coefficients absent; zero nnz so later
+                # MBs' nC prediction stays consistent (JM ei_flag path)
+                st.nnz[0, y4 : y4 + 4, x4 : x4 + 4] = 0
+                x2, y2 = 2 * (addr % st.W), 2 * (addr // st.W)
+                st.nnz[1:, y2 : y2 + 2, x2 : x2 + 2] = 0
+                return
         if mbt == M.I16MB:
             nc = self._predict_nnz(addr, 0, 0)
             coeffs, n = decode_block(r, 16, nc)

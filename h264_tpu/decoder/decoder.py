@@ -74,6 +74,7 @@ class H264Decoder:
         self.use_device = use_device
         self.pending_sei: list = []
         self.active_tone_mapping = None
+        self._dp_wait = None  # buffered DPA awaiting its B/C partitions
         self.pps_map: dict[int, PPS] = {}
         self.prev_poc_msb = 0
         self.prev_poc_lsb = 0
@@ -169,11 +170,31 @@ class H264Decoder:
             elif t == NalUnitType.PPS:
                 p = parse_pps(nalu.rbsp)
                 self.pps_map[p.pic_parameter_set_id] = p
-            elif t in (NalUnitType.SLICE, NalUnitType.IDR):
+            elif t in (NalUnitType.DPB, NalUnitType.DPC):
+                # attach partition B/C to the waiting DPA
+                # (ldecod/src/nal_part.c partition assembly)
+                if self._dp_wait is not None:
+                    from ..bitstream.reader import BitReader
+
+                    r = BitReader(nalu.rbsp)
+                    r.ue()  # slice_id
+                    if self._dp_wait["pps"].redundant_pic_cnt_present_flag:
+                        r.ue()
+                    key = "b" if t == NalUnitType.DPB else "c"
+                    self._dp_wait[key] = (nalu.rbsp, r.pos)
+            elif t in (NalUnitType.SLICE, NalUnitType.IDR, NalUnitType.DPA):
+                self._flush_dp()
                 sh, sps, pps = parse_slice_header(
                     nalu.rbsp, self.sps_map, self.pps_map, nalu.nal_ref_idc,
                     nalu.is_idr,
                 )
+                if t == NalUnitType.DPA:
+                    from ..bitstream.reader import BitReader
+
+                    r = BitReader(nalu.rbsp, sh.header_bit_len)
+                    r.ue()  # slice_id
+                    sh.header_bit_len = r.pos
+                    sh.is_dp = True
                 if self.dpb is None:
                     self.dpb = DPB(sps)
                 poc = self._compute_poc(sh, sps)
@@ -217,9 +238,28 @@ class H264Decoder:
                         "sh0": sh,
                         "slices": [],
                     }
-                self._parse_slice(pending, nalu.rbsp, sh, sps, pps)
+                if t == NalUnitType.DPA:
+                    self._dp_wait = {
+                        "pending": pending, "rbsp": nalu.rbsp, "sh": sh,
+                        "sps": sps, "pps": pps, "b": None, "c": None,
+                    }
+                else:
+                    self._parse_slice(pending, nalu.rbsp, sh, sps, pps)
+        self._flush_dp()
         if pending is not None:
             yield self._finish_picture(pending)
+
+    def _flush_dp(self) -> None:
+        """Parse a buffered data-partitioned slice once its B/C
+        partitions (if any) have arrived."""
+        dp = self._dp_wait
+        if dp is None:
+            return
+        self._dp_wait = None
+        self._parse_slice(
+            dp["pending"], dp["rbsp"], dp["sh"], dp["sps"], dp["pps"],
+            part_b=dp["b"], part_c=dp["c"],
+        )
 
     def _conceal_frame_gap(self, sh: SliceHeader, sps: SPS):
         """Insert concealed reference frames for frame_num gaps
@@ -272,7 +312,8 @@ class H264Decoder:
             or sh.first_mb_in_slice == 0
         )
 
-    def _parse_slice(self, pending, rbsp: bytes, sh: SliceHeader, sps, pps):
+    def _parse_slice(self, pending, rbsp: bytes, sh: SliceHeader, sps, pps,
+                     part_b=None, part_c=None):
         state = pending["state"]
         sid = len(pending["slices"])
         if pps.entropy_coding_mode_flag:
@@ -280,6 +321,14 @@ class H264Decoder:
             parser.trace = None
         else:
             parser = CavlcSliceParser(rbsp, sh, sps, pps, state, sid)
+            if part_b is not None or part_c is not None or sh.is_dp:
+                from ..bitstream.reader import BitReader
+
+                parser.dp = True
+                parser.rB = (None if part_b is None
+                             else BitReader(part_b[0], part_b[1]))
+                parser.rC = (None if part_c is None
+                             else BitReader(part_c[0], part_c[1]))
         if pps.num_slice_groups_minus1 > 0:
             from ..syntax.fmo import mb_to_slice_group, next_mb_array
 

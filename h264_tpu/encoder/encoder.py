@@ -89,6 +89,8 @@ class EncoderConfig:
     # FRExt / High profile (lencod Transform8x8Mode,
     # ScalingMatrixPresentFlag + q_matrix.cfg)
     transform8x8: bool = False  # allow 8x8 transform (host path)
+    partition_mode: int = 0  # 1: CAVLC data partitioning (DPA/DPB/DPC
+    # NALs; spec §7.3.2.8-.10, lencod/src/header.c:541) on non-IDR pics
     scaling_lists: object = None  # (ws4 (6,4,4), ws8 (2,8,8)) raster or None
 
 
@@ -408,6 +410,34 @@ class H264Encoder:
                 slice_group_change_cycle=cfg.slice_group_change_cycle,
             )
             w = write_slice_header(sh, sps, pps)
+            use_dp = (cfg.partition_mode == 1
+                      and not pps.entropy_coding_mode_flag and not is_idr)
+            if use_dp:
+                # slice_data_partition_a_layer: header + slice_id, with
+                # residual categories split into B (intra) / C (inter)
+                sid = len(nals)
+                w.ue(sid)  # slice_id
+                wB, wC = BitWriter(), BitWriter()
+                writer = CavlcSliceWriter(st, sps, pps, sh)
+                writer.write_slice_data(w, addrs, wB=wB, wC=wC)
+                w.rbsp_trailing_bits()
+                rbsp = w.get_bytes()
+                total_bytes += len(rbsp)
+                nals.append(NalUnit(2, 3 if is_ref else 0, rbsp))
+                for nt, ww in ((3, wB), (4, wC)):
+                    bits, nbits = ww.raw_bits()
+                    if nbits == 0:
+                        continue  # empty partitions are not sent
+                    hw = BitWriter()
+                    hw.ue(sid)
+                    if pps.redundant_pic_cnt_present_flag:
+                        hw.ue(0)
+                    hw.append_bits(bits, nbits)
+                    hw.rbsp_trailing_bits()
+                    prbsp = hw.get_bytes()
+                    total_bytes += len(prbsp)
+                    nals.append(NalUnit(nt, 3 if is_ref else 0, prbsp))
+                continue
             if pps.entropy_coding_mode_flag:
                 writer = CabacSliceWriter(st, sps, pps, sh)
                 writer.write_slice_data(w, addrs)

@@ -178,7 +178,12 @@ class CavlcSliceWriter:
             w.se(dq)
             self._t("dquant", dq)
 
-        self._write_residuals(w, addr)
+        rw = w
+        if wB is not None and wC is not None:
+            # DP: residual categories route to partition B (intra) or C
+            # (inter) — lencod/src/header.c:41 assignSE2partition
+            rw = wB if st.is_intra[addr] else wC
+        self._write_residuals(rw, addr)
 
     def _try_native(self, w: BitWriter, mb_addrs, is_p: bool) -> bool:
         """Write the whole slice via the native C writer when the feature

@@ -95,6 +95,7 @@ class SliceHeader:
     nal_ref_idc: int = 0
     is_idr: bool = False
     header_bit_len: int = 0  # bit position after the header (for slice data)
+    is_dp: bool = False  # slice arrived as DPA (data partitioning)
 
     @property
     def slice_type(self) -> SliceType:
