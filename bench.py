@@ -67,9 +67,11 @@ def encode_once(frames, qp, timed=False):
     recs = {}
     for poc, pl in enc.all_recons:
         recs.setdefault(poc, pl)
-    for e in enc.recon_pics:
-        recs.setdefault(e[0], e[1])
-    ys = [psnr(recs[poc].Y, frames[i][0]) for i, poc in enumerate(sorted(recs))]
+    # every coded picture's recon is recorded; POC = 2 * display index
+    # (single IDR at frame 0), so map each recon to its true source frame
+    assert len(recs) == n, f"recon bookkeeping lost pictures: {len(recs)}/{n}"
+    ys = [psnr(np.asarray(pl.Y), frames[poc // 2][0])
+          for poc, pl in sorted(recs.items())]
     return fps, float(np.mean(ys)), bits * 30.0 / n / 1000.0
 
 

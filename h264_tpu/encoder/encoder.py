@@ -647,6 +647,7 @@ class H264Encoder:
                 writer.write_slice_data(w, addrs)
                 w.rbsp_trailing_bits()
             nals.append(NalUnit(1, 3, w.get_bytes()))
+        self.all_recons.append((poc, planes))
         self.recon_pics = (self.recon_pics + [(poc, planes, st, None)])[
             -self.cfg.num_ref_frames:
         ]
@@ -1057,6 +1058,7 @@ class H264Encoder:
             writer.write_slice_data(w, list(range(st.n_mbs)))
             w.rbsp_trailing_bits()
         nal = NalUnit(1, 3, w.get_bytes())
+        self.all_recons.append((poc, planes))
         self.recon_pics = (self.recon_pics + [(poc, planes, st, dev_ref)])[
             -self.cfg.num_ref_frames:
         ]

@@ -25,6 +25,7 @@ from ..decoder import mbtables as M
 from ..ops import interp as MC
 from ..ops import quant as Q
 from ..ops import transforms as TR
+from .rd import _lam_cost
 
 PAD = MC.PAD
 _REFINE = [(dx, dy) for dy in range(-3, 4) for dx in range(-3, 4)]
@@ -150,7 +151,7 @@ def _p_frame_core(cur_y, cur_u, cur_v, ref_pad, bpl, hpl, jpl, ref_u_pad,
     # (SSD is in squared-error units, like the mode-decision J).
     dgrid = jnp.arange(-R, R + 1) * 4
     bits = _mv_bits_arr(dgrid)[None, :] + _mv_bits_arr(dgrid)[:, None]
-    cost = grids + ((lambda_me * bits) >> 16)[..., None, None]
+    cost = grids + _lam_cost(lambda_me, bits)[..., None, None]
     flat = cost.reshape(-1, n_my, n_mx)
     best = jnp.argmin(flat, axis=0)
     int_mvy = (best // (2 * R + 1) - R).astype(jnp.int32)
@@ -210,7 +211,7 @@ def _p_frame_core(cur_y, cur_u, cur_v, ref_pad, bpl, hpl, jpl, ref_u_pad,
             ssd = (d * d).sum()
             rate = _mv_bits_arr(mvx[None])[0] + _mv_bits_arr(mvy[None])[0]
             preds.append(pred)
-            costs.append(ssd + ((lambda_me * rate) >> 16))
+            costs.append(ssd + _lam_cost(lambda_me, rate))
         costs = jnp.stack(costs)
         preds = jnp.stack(preds)
         k = jnp.argmin(costs)

@@ -64,4 +64,5 @@ def mv_bits(d: int) -> int:
 
 def mv_cost(lambda_factor: int, dx: int, dy: int, px: int, py: int) -> int:
     """Weighted MV rate: (lambda * bits) >> 16 (JM MV_COST semantics)."""
-    return (lambda_factor * (mv_bits(dx - px) + mv_bits(dy - py))) >> 16
+    b = mv_bits(dx - px) + mv_bits(dy - py)
+    return (lambda_factor >> 16) * b + (((lambda_factor & 0xFFFF) * b) >> 16)

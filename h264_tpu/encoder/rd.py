@@ -180,6 +180,16 @@ def _med3(a, b, c):
         a, jnp.maximum(b, c))
 
 
+def _lam_cost(lam, bits):
+    """lambda * bits with lambda in <<16 fixed point, overflow-safe.
+
+    lam can reach ~2^33 in raw <<16 form at high QP (lambda_mode =
+    0.85 * 2^((QP-12)/3), lencod/src/slice.c:1261), so the naive
+    (lam * bits) >> 16 wraps int32 — split into integer and fractional
+    parts instead: both partial products stay far below 2^31."""
+    return (lam >> 16) * bits + (((lam & 0xFFFF) * bits) >> 16)
+
+
 # ---------------------------------------------------------------------------
 # the P pipeline
 # ---------------------------------------------------------------------------
@@ -250,7 +260,7 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     # ---- 3. approximate PMV field --------------------------------------
     dgrid = jnp.arange(-R, R + 1) * 4
     zb = _mv_bits(dgrid)[None, :] + _mv_bits(dgrid)[:, None]  # (D, D)
-    c0 = ssd16[0] + ((lam_me * zb) >> 16)
+    c0 = ssd16[0] + _lam_cost(lam_me, zb)
     bi0 = jnp.argmin(c0.reshape(n_my, n_mx, -1), axis=-1)
     pm_x = (bi0 % D - R) * 4
     pm_y = (bi0 // D - R) * 4
@@ -280,8 +290,8 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
 
     def part_argmin(grids):
         """grids: (NR, n_my, n_mx, D, D) -> (ref, imvx, imvy) per MB."""
-        cost = grids + ((lam_me * mvbits) >> 16)[None]
-        cost = cost + (((lam_me * rbits) >> 16) + ref_pen)[
+        cost = grids + _lam_cost(lam_me, mvbits)[None]
+        cost = cost + (_lam_cost(lam_me, rbits) + ref_pen)[
             :, None, None, None, None]
         flat = cost.reshape(NR, n_my, n_mx, -1)
         per_ref = jnp.min(flat, axis=-1)
@@ -338,7 +348,7 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
             ssd = (d * d).sum()
             rate = _mv_bits(base_x + ox - px) + _mv_bits(base_y + oy - py)
             preds.append(pred)
-            costs.append(ssd + ((lam_me * rate) >> 16))
+            costs.append(ssd + _lam_cost(lam_me, rate))
         costs = jnp.stack(costs)
         preds = jnp.stack(preds)
         k = jnp.argmin(costs)
@@ -508,7 +518,7 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         [0, 0, 0, 0]], jnp.int32)
     R_inter = hdr[:, None] + ((mvb + refb) * sel[:, None, :]).sum(-1)
     R_inter = R_inter + cb_i
-    J_inter = D_i + ((lam * R_inter) >> 16)
+    J_inter = D_i + _lam_cost(lam, R_inter)
     J_skip = D_skip  # rate ~ 0
     J_inter = J_inter.at[4].set(J_skip)
 
@@ -527,7 +537,7 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     ulv = ul.reshape(n_mb)
     i16p, i16m, i16rb = _i16_pred_all(upv, lfv, ulv, au, al, orig_mb)
     lev16, dc16, rec16, D_16, cb16 = _i16_tq(i16p, orig_mb, qp)
-    J_i16 = D_16 + ((lam * (cb16 + 8)) >> 16)
+    J_i16 = D_16 + _lam_cost(lam, cb16 + 8)
 
     J_all = jnp.concatenate([J_inter, J_i16[None]], 0)  # (6, n_mb)
     win = jnp.argmin(J_all, axis=0).astype(jnp.int32)
@@ -1171,7 +1181,7 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
     # PMV field from list0 best (zero-biased)
     dgrid = jnp.arange(-R, R + 1) * 4
     zb = _mv_bits(dgrid)[None, :] + _mv_bits(dgrid)[:, None]
-    c0 = g0[0] + ((lam_me * zb) >> 16)
+    c0 = g0[0] + _lam_cost(lam_me, zb)
     bi0 = jnp.argmin(c0.reshape(n_my, n_mx, -1), axis=-1)
     pm_x = (bi0 % D - R) * 4
     pm_y = (bi0 // D - R) * 4
@@ -1202,8 +1212,8 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         else:
             rb = jnp.where(nref <= 1, 0, rb)
             pen = jnp.where(jnp.arange(nr) >= nref, jnp.int32(1 << 29), 0)
-        cost = grids + ((lam_me * mvbits) >> 16)[None]
-        cost = cost + (((lam_me * rb) >> 16) + pen)[
+        cost = grids + _lam_cost(lam_me, mvbits)[None]
+        cost = cost + (_lam_cost(lam_me, rb) + pen)[
             :, None, None, None, None]
         flat = cost.reshape(nr, n_my, n_mx, -1)
         per_ref = jnp.min(flat, axis=-1)
@@ -1244,7 +1254,7 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
             rate = _mv_bits(imvx * 4 + ox - pmvx_f[i]) + _mv_bits(
                 imvy * 4 + oy - pmvy_f[i])
             preds.append(pred)
-            costs.append((d * d).sum() + ((lam_me * rate) >> 16))
+            costs.append((d * d).sum() + _lam_cost(lam_me, rate))
         k = jnp.argmin(jnp.stack(costs))
         return (imvx * 4 + offs[k, 0], imvy * 4 + offs[k, 1],
                 jnp.stack(preds)[k])
@@ -1338,7 +1348,7 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         3 + mvb1,
         5 + mvb0 + refb0 + mvb1,
     ])
-    J_inter = D_i + ((lam * (R_c + cb_i)) >> 16)
+    J_inter = D_i + _lam_cost(lam, R_c + cb_i)
     # direct-zero (B skip) candidate
     rec_dz = pred_dir.clip(0, 255)
     ddz = orig_mb - rec_dz
@@ -1359,7 +1369,7 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
                                   left_mb.reshape(n_mb, 16),
                                   ul.reshape(n_mb), au, al, orig_mb)
     lev16, dc16, rec16, D_16, cb16 = _i16_tq(i16p, orig_mb, qp)
-    J_i16 = D_16 + ((lam * (cb16 + 11)) >> 16)
+    J_i16 = D_16 + _lam_cost(lam, cb16 + 11)
 
     # winner: order [DIRECT, L0, L1, BI, I16, DIRECT_ZERO]
     J_all = jnp.concatenate([J_inter, J_i16[None], J_dz[None]], 0)
