@@ -165,6 +165,7 @@ def encoder_config_from_params(params: dict[str, str]) -> EncoderRunConfig:
             else ""
         ),
         transform8x8=g("Transform8x8Mode", "0") not in ("0",),
+        partition_mode=int(g("PartitionMode", 0)),
         scaling_lists=(
             _qmatrix_from_cfg(g("QmatrixFile", "q_matrix.cfg"))
             if g("ScalingMatrixPresentFlag", "0") in _TRUE else None

@@ -171,28 +171,32 @@ class H264Decoder:
                 p = parse_pps(nalu.rbsp)
                 self.pps_map[p.pic_parameter_set_id] = p
             elif t in (NalUnitType.DPB, NalUnitType.DPC):
-                # attach partition B/C to the waiting DPA
-                # (ldecod/src/nal_part.c partition assembly)
+                # attach partition B/C to the waiting DPA, matched by
+                # slice_id (ldecod/src/nal_part.c partition assembly):
+                # if the slice's DPA was lost, its B/C partitions must
+                # NOT attach to the previous slice's waiting DPA
                 if self._dp_wait is not None:
                     from ..bitstream.reader import BitReader
 
                     r = BitReader(nalu.rbsp)
-                    r.ue()  # slice_id
+                    sid = r.ue()  # slice_id
                     if self._dp_wait["pps"].redundant_pic_cnt_present_flag:
                         r.ue()
                     key = "b" if t == NalUnitType.DPB else "c"
-                    self._dp_wait[key] = (nalu.rbsp, r.pos)
+                    if sid == self._dp_wait["slice_id"]:
+                        self._dp_wait[key] = (nalu.rbsp, r.pos)
             elif t in (NalUnitType.SLICE, NalUnitType.IDR, NalUnitType.DPA):
                 self._flush_dp()
                 sh, sps, pps = parse_slice_header(
                     nalu.rbsp, self.sps_map, self.pps_map, nalu.nal_ref_idc,
                     nalu.is_idr,
                 )
+                dpa_slice_id = None
                 if t == NalUnitType.DPA:
                     from ..bitstream.reader import BitReader
 
                     r = BitReader(nalu.rbsp, sh.header_bit_len)
-                    r.ue()  # slice_id
+                    dpa_slice_id = r.ue()  # slice_id
                     sh.header_bit_len = r.pos
                     sh.is_dp = True
                 if self.dpb is None:
@@ -242,6 +246,7 @@ class H264Decoder:
                     self._dp_wait = {
                         "pending": pending, "rbsp": nalu.rbsp, "sh": sh,
                         "sps": sps, "pps": pps, "b": None, "c": None,
+                        "slice_id": dpa_slice_id,
                     }
                 else:
                     self._parse_slice(pending, nalu.rbsp, sh, sps, pps)
@@ -317,6 +322,40 @@ class H264Decoder:
         state = pending["state"]
         sid = len(pending["slices"])
         if pps.entropy_coding_mode_flag:
+            # native fused parse first (the decode-throughput path); the
+            # Python parser below stays as the portable oracle
+            fmo_next = None
+            if pps.num_slice_groups_minus1 > 0:
+                from ..syntax.fmo import mb_to_slice_group, next_mb_array
+
+                sg_map = mb_to_slice_group(
+                    sps, pps, sh.slice_group_change_cycle)
+                fmo_next = next_mb_array(sg_map)
+            try:
+                from ..native import cabac_parse_slice
+
+                n = cabac_parse_slice(state, rbsp, sh, sps, pps, sid,
+                                      fmo_next=fmo_next)
+            except ValueError:
+                n = -1  # corrupt slice: same handling as a parse raise
+            if n is not None and n >= 0:
+                pending["slices"].append(sh)
+                return
+            if n == -1:
+                if not self.conceal_mode:
+                    raise ValueError("corrupt CABAC slice data")
+                bad = np.asarray(state.slice_id) == sid
+                state.slice_id[bad] = -1
+                state.mb_type[bad] = -1
+                state.is_intra[bad] = 0
+                state.skip_flag[bad] = 0
+                state.cbp[bad] = 0
+                bad4 = np.repeat(np.repeat(
+                    bad.reshape(state.H, state.W), 4, 0), 4, 1)
+                state.ref_idx[:, bad4] = -1
+                state.mv[:, bad4] = 0
+                pending["lost"] = pending.get("lost", 0) + 1
+                return
             parser = CabacSliceParser(rbsp, sh, sps, pps, state, sid)
             parser.trace = None
         else:

@@ -257,10 +257,11 @@ def _copysign(mag, src):
 
 
 def _mf_weighted(mf_flat, weight_scale, n: int):
-    """Encoder MF under a custom scaling matrix: MF = base*16 / w, rounded
-    (JM q_matrix.c CalculateQuantParam: LevelScale = (coef<<4)/matrix)."""
+    """Encoder MF under a custom scaling matrix: MF = base*16 / w with
+    truncating division, matching JM exactly (q_matrix.c
+    CalculateQuantParam: LevelScale = (quant_coef<<4)/ScalingList)."""
     w = np.asarray(weight_scale, np.int64)
-    return (((mf_flat.astype(np.int64) << 4) + (w >> 1)) // w).astype(np.int32)
+    return ((mf_flat.astype(np.int64) << 4) // w).astype(np.int32)
 
 
 def _mf_weighted6(mf6, weight_scale, n: int):

@@ -293,30 +293,41 @@ def parse_sei(rbsp: bytes, sps_map=None, active_sps=None) -> list:
         if rbsp[i] == 0x80 and i == n - 1:  # rbsp trailing bits
             break
         pt = 0
-        while rbsp[i] == 0xFF:
+        while i < n and rbsp[i] == 0xFF:
             pt += 255
             i += 1
+        if i >= n:  # truncated/corrupt SEI: drop the damaged tail
+            break
         pt += rbsp[i]
         i += 1
         ps = 0
-        while rbsp[i] == 0xFF:
+        while i < n and rbsp[i] == 0xFF:
             ps += 255
             i += 1
+        if i >= n:
+            break
         ps += rbsp[i]
         i += 1
+        if i + ps > n:  # payload extends past the NAL: damaged
+            break
         body = rbsp[i : i + ps]
         i += ps
-        if pt == BUFFERING_PERIOD:
-            out.append(_parse_buffering_period(body, sps_map))
-        elif pt == PIC_TIMING:
-            out.append(_parse_pic_timing(body, active_sps))
-        elif pt == USER_DATA_UNREGISTERED:
-            out.append(_parse_user_data(body))
-        elif pt == RECOVERY_POINT:
-            out.append(_parse_recovery_point(body))
-        elif pt == TONE_MAPPING:
-            out.append(_parse_tone_mapping(body))
-        else:
+        try:
+            if pt == BUFFERING_PERIOD:
+                out.append(_parse_buffering_period(body, sps_map))
+            elif pt == PIC_TIMING:
+                out.append(_parse_pic_timing(body, active_sps))
+            elif pt == USER_DATA_UNREGISTERED:
+                out.append(_parse_user_data(body))
+            elif pt == RECOVERY_POINT:
+                out.append(_parse_recovery_point(body))
+            elif pt == TONE_MAPPING:
+                out.append(_parse_tone_mapping(body))
+            else:
+                out.append(RawSEI(payload_type=pt, data=body))
+        except (IndexError, ValueError):
+            # damaged payload (loss/corruption paths): keep it raw like
+            # other damaged NALs instead of aborting the decode
             out.append(RawSEI(payload_type=pt, data=body))
     return out
 
