@@ -42,28 +42,35 @@ QPS = [p["qp"] for p in REF["points"]]
 MAIN_QP = 28
 
 
-def encode_once(frames, qp, timed=False):
+def encode_once(frames, qp, timed=False, keep_stream=None):
     """Encode the full sequence at one QP; return (fps, psnr_y, kbps)."""
     enc = H264Encoder(
         EncoderConfig(
             width=352, height=288, qp=qp, fast=True, b_frames=1,
-            entropy="cabac", num_ref_frames=3, search_range=16,
+            entropy="cabac", num_ref_frames=3, search_range=24,
+            weighted_pred=True,
         )
     )
     # ref-list length grows 1->num_ref_frames over the first GOPs; each
     # length is its own jit specialization -> time only past warmup
     warmup = 14
-    bits = 8 * sum(len(nl.rbsp) + 5 for nl in enc.headers())
+    nalus = list(enc.headers())
+    bits = 8 * sum(len(nl.rbsp) + 5 for nl in nalus)
     n = t0 = 0
     timed_n = 0
     for k, out in enumerate(enc.encode_stream(frames)):
         bits += sum(8 * (len(nl.rbsp) + 5) for nl in out)
+        nalus.extend(out)
         n += 1
         if timed and k + 1 == warmup:
             t0 = time.time()
         elif timed and k + 1 > warmup:
             timed_n += 1
     fps = timed_n / (time.time() - t0) if timed else 0.0
+    if keep_stream is not None:
+        from h264_tpu.bitstream import write_annexb
+
+        keep_stream.append(write_annexb(nalus))
     recs = {}
     for poc, pl in enc.all_recons:
         recs.setdefault(poc, pl)
@@ -75,15 +82,32 @@ def encode_once(frames, qp, timed=False):
     return fps, float(np.mean(ys)), bits * 30.0 / n / 1000.0
 
 
+def decode_fps(stream: bytes, n_pics: int) -> float:
+    """Decode throughput on our own QP-28 stream (native CABAC parse +
+    batched device reconstruction); one warmup pass compiles."""
+    from h264_tpu.decoder.decoder import decode_annexb
+
+    decode_annexb(stream, use_device=True)  # jit warmup
+    t0 = time.time()
+    pics = decode_annexb(stream, use_device=True)
+    dt = time.time() - t0
+    assert len(pics) == n_pics
+    return n_pics / dt
+
+
 def main():
     frames = make_sequence(100)
     ours = {}
     fps28 = 0.0
+    stream28: list = []
     for qp in QPS:
-        fps, py, kbps = encode_once(frames, qp, timed=(qp == MAIN_QP))
+        fps, py, kbps = encode_once(
+            frames, qp, timed=(qp == MAIN_QP),
+            keep_stream=stream28 if qp == MAIN_QP else None)
         ours[qp] = (py, kbps)
         if qp == MAIN_QP:
             fps28 = fps
+    dec_fps = decode_fps(stream28[0], len(frames))
     ref = {p["qp"]: (p["psnr_y"], p["kbps"], p["fps"]) for p in REF["points"]}
     bd = bd_rate(
         [ref[q][1] for q in QPS], [ref[q][0] for q in QPS],
@@ -97,6 +121,7 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps28 / ref[MAIN_QP][2], 3),
                 "bd_rate_vs_lencod_pct": round(bd, 2),
+                "decode_fps_cif": round(dec_fps, 2),
                 "psnr_y_db": round(ours[MAIN_QP][0], 2),
                 "kbps_at_30fps": round(ours[MAIN_QP][1], 1),
                 "lencod_qp28": f"{ref[MAIN_QP][2]}fps/{ref[MAIN_QP][0]}dB/"

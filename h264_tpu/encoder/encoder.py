@@ -89,6 +89,8 @@ class EncoderConfig:
     # FRExt / High profile (lencod Transform8x8Mode,
     # ScalingMatrixPresentFlag + q_matrix.cfg)
     transform8x8: bool = False  # allow 8x8 transform (host path)
+    weighted_pred: bool = False  # P-slice explicit WP (DC-ratio luma
+    # estimation, lencod/src/weighted_prediction.c:30); fast RD path
     partition_mode: int = 0  # 1: CAVLC data partitioning (DPA/DPB/DPC
     # NALs; spec §7.3.2.8-.10, lencod/src/header.c:541) on non-IDR pics
     scaling_lists: object = None  # (ws4 (6,4,4), ws8 (2,8,8)) raster or None
@@ -115,6 +117,14 @@ class H264Encoder:
             log2_max_frame_num_minus4=4,
         )
         self.pps = PPS(entropy_coding_mode_flag=(cfg.entropy == "cabac"))
+        self._src_dc: dict = {}  # poc -> source-luma mean (WP estimation)
+        if cfg.weighted_pred:
+            # P prediction weighting runs only in the device RD pipeline
+            assert cfg.fast and cfg.rd and cfg.rc_bitrate == 0, (
+                "weighted_pred requires the fast RD path")
+            assert cfg.slice_mode == 0 and cfg.num_slice_groups == 1 \
+                and cfg.row_slices == 1
+            self.pps.weighted_pred_flag = True
         if cfg.transform8x8 or cfg.scaling_lists is not None:
             # High profile (FREXT_HP): 8x8 transform / scaling matrices
             # are signalled there (lencod/src/parset.c GenerateSPS)
@@ -178,7 +188,12 @@ class H264Encoder:
         self._rd_refs: list = []  # [(poc, bank, cpad, col)] newest-first
         self._anchor_ref_pocs: dict = {}  # anchor poc -> its list0 pocs
         self._prev_poc = 0
-        lam = 0.85 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        # JM lambda (lencod/src/slice.c:1261 SetLagrangianMultipliers,
+        # rdopt on, no explicit params): base 0.68 when B pictures are in
+        # use else 0.85, x0.95 for the non-SATD ME metric; B slices get
+        # an extra clip3(2, 4, qp_temp/6) factor (applied in _start_b_rd)
+        base = (0.68 if cfg.b_frames > 0 else 0.85) * 0.95
+        lam = base * 2.0 ** ((cfg.qp - 12) / 3.0)
         self.lambda_me = int(np.sqrt(lam) * 65536 + 0.5)
         self.lambda_mode = lam
         # fast path searches in SSD units -> full lambda_mode weighting
@@ -331,6 +346,7 @@ class H264Encoder:
         Y = np.asarray(yuv[0], np.int32)
         U = np.asarray(yuv[1], np.int32)
         V = np.asarray(yuv[2], np.int32)
+        self._src_dc[poc] = float(Y.mean())
         sps, pps = self.sps, self.pps
         W, H = sps.pic_width_in_mbs, sps.frame_height_in_mbs
         st = PictureParseState(W, H)
@@ -549,21 +565,37 @@ class H264Encoder:
         banks = jnp.stack([e[1] for e in refs + pad])
         cpads = jnp.stack([e[2] for e in refs + pad])
         nref = jnp.int32(len(refs))
+        ref_pocs = [e[0] for e in refs]
+        wp_weights = None
+        if cfg.weighted_pred:
+            # DC-ratio luma weights per reference, logWD = 5
+            # (lencod/src/weighted_prediction.c:30, select_offset == 0)
+            dc_cur = float(np.asarray(yuv[0], np.float64).mean())
+            wp_weights = []
+            for rp in ref_pocs:
+                dc_ref = self._src_dc.get(rp, 0.0)
+                w = (int(32 * dc_cur / dc_ref + 0.5) if dc_ref > 0 else 32)
+                wp_weights.append(max(-128, min(127, w)))
+            wpad = wp_weights + [wp_weights[-1]] * (nr_max - len(wp_weights))
+            wp_w = jnp.asarray(np.asarray(wpad, np.int32))
+            wp_o = jnp.zeros((nr_max,), jnp.int32)
         if cfg.row_slices > 1:
             host_out, recon, new_entry = RD.rd_p_rows_pipeline(
-                *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 16),
+                *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 24),
                 qp=qp, qp_c=qp_c, lam=self.lambda_mode_fx,
                 lam_me=self.lambda_mode_fx, G=cfg.row_slices, nref=nref,
             )
         else:
             host_out, recon, new_entry = RD.rd_p_pipeline(
-                *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 16),
+                *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 24),
                 qp=qp, qp_c=qp_c, lam=self.lambda_mode_fx,
                 lam_me=self.lambda_mode_fx, nref=nref,
+                wp_w=wp_w if wp_weights else None,
+                wp_o=wp_o if wp_weights else None,
+                use_wp=bool(wp_weights),
             )
         frame_num = self.frame_num
         self.frame_num += 1
-        ref_pocs = [e[0] for e in refs]
         if poc is None:
             poc = self._prev_poc + 2
         self._prev_poc = poc
@@ -571,10 +603,13 @@ class H264Encoder:
         self._rd_refs = ([(poc,) + tuple(new_entry)] + self._rd_refs)[
             : sps.num_ref_frames
         ]
-        return ("rd", host_out, recon, frame_num, poc, ref_pocs, qp)
+        self._src_dc[poc] = float(np.asarray(yuv[0], np.float64).mean())
+        return ("rd", host_out, recon, frame_num, poc, ref_pocs, qp,
+                wp_weights)
 
     def _finish_p_rd(self, pending, fetched=None) -> list[NalUnit]:
-        _, host_out, recon, frame_num, poc, ref_pocs, qp = pending
+        (_, host_out, recon, frame_num, poc, ref_pocs, qp,
+         wp_weights) = pending
         cfg, sps, pps = self.cfg, self.sps, self.pps
         W, H = sps.pic_width_in_mbs, sps.frame_height_in_mbs
         n_mb = W * H
@@ -637,6 +672,15 @@ class H264Encoder:
                 disable_deblocking_filter_idc=2 if G > 1 else 0,
                 slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
             )
+            if wp_weights is not None:
+                from ..syntax.slice_header import PredWeight
+
+                sh.luma_log2_weight_denom = 5
+                sh.chroma_log2_weight_denom = 5
+                sh.pred_weights[0] = [
+                    PredWeight(wv, 0, [32, 32], [0, 0])
+                    for wv in wp_weights
+                ]
             w = write_slice_header(sh, sps, pps)
             addrs = list(range(g * n_g, (g + 1) * n_g))
             if pps.entropy_coding_mode_flag:
@@ -822,7 +866,12 @@ class H264Encoder:
         pocs0_p = pocs0 + [pocs0[-1]] * pad_n
         dsf_p = dsf + [dsf[-1]] * pad_n
         eq_p = eq + [eq[-1]] * pad_n
-        lam = int(0.85 * 2.0 ** ((qp - 12) / 3.0) * 65536 + 0.5)
+        # JM B-slice lambda: 0.68 base x clip3(2, 4, qp_temp/6) x 0.95
+        # (slice.c:1261; B pictures tolerate more distortion per bit)
+        qp_t = qp - 12
+        lam_f = (0.68 * 0.95 * 2.0 ** (qp_t / 3.0)
+                 * min(4.0, max(2.0, qp_t / 6.0)))
+        lam = int(lam_f * 65536 + 0.5)
         host_out, recon = RD.rd_b_pipeline(
             *cur, banks0, cpads0, banks1, cpads1,
             col_intra4, col_ref4, col_mvx4, col_mvy4,
@@ -830,7 +879,7 @@ class H264Encoder:
             jnp.asarray(np.asarray(dsf_p, np.int32)),
             jnp.asarray(np.asarray(eq_p, bool)),
             jnp.int32(poc1),
-            H=H, W=W, R=min(cfg.search_range, 16), qp=qp, qp_c=qp_c,
+            H=H, W=W, R=min(cfg.search_range, 24), qp=qp, qp_c=qp_c,
             lam=lam, lam_me=lam, nref0=jnp.int32(len(past)),
         )
         # decode-order frame_num captured at dispatch (non-ref B =
@@ -992,7 +1041,7 @@ class H264Encoder:
             jnp.asarray(np.ascontiguousarray(p, np.uint8)) for p in yuv
         )
         host_out, recon, new_ref = FAST.p_frame_pipeline(
-            *cur, *self._dev_ref, H=H, W=W, R=min(cfg.search_range, 16),
+            *cur, *self._dev_ref, H=H, W=W, R=min(cfg.search_range, 24),
             qp=qp, qp_c=qp_c, lambda_me=self.lambda_mode_fx,
         )
         frame_num = self.frame_num
@@ -1145,8 +1194,13 @@ class _FrameEncoder:
         self.pps = parent.pps
         self.R = parent.cfg.search_range
         self.W = st.W
-        # per-picture lambdas (SetLagrangianMultipliers, lencod/src/slice.c)
-        lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+        # per-picture lambdas (SetLagrangianMultipliers, lencod/src/slice.c
+        # :1261: 0.68 base with B pictures else 0.85, x0.95 non-SATD ME;
+        # B slices x clip3(2, 4, qp_temp/6))
+        base = (0.68 if parent.cfg.b_frames > 0 else 0.85) * 0.95
+        lam = base * 2.0 ** ((qp - 12) / 3.0)
+        if stype == SliceType.B:
+            lam *= min(4.0, max(2.0, (qp - 12) / 6.0))
         self.lambda_mode = lam
         self.lambda_me = int(np.sqrt(lam) * 65536 + 0.5)
 
@@ -1715,6 +1769,24 @@ class _FrameEncoder:
         coefs = TR.forward4x4(blk_rc)
         lev4 = Q.quant4x4(coefs, qp, Q.default_offset4(qp, False), w4)
         rec4 = self._recon_luma4(pred, lev4, qp, w4)
+        if self.stype != SliceType.I:
+            # JM inter-luma coefficient thresholding (macroblock.c:1236
+            # per-8x8, :1386 whole-MB): isolated small coefficients cost
+            # more bits than their distortion gain
+            cost4 = np.zeros((4, 4), np.int64)
+            for br in range(4):
+                for bc in range(4):
+                    cost4[br, bc] = _coeff_cost_4x4(lev4[br, bc])
+            c8 = cost4.reshape(2, 2, 2, 2).sum((1, 3))
+            drop8 = c8 <= 4
+            if np.where(drop8, 0, c8).sum() <= 5:
+                drop8[:] = True
+            if drop8.any():
+                for qr in range(2):
+                    for qc in range(2):
+                        if drop8[qr, qc]:
+                            lev4[2 * qr : 2 * qr + 2, 2 * qc : 2 * qc + 2] = 0
+                rec4 = self._recon_luma4(pred, lev4, qp, w4)
         use8 = False
         if allow8x8 and self.p.cfg.transform8x8:
             w8 = None if self.p._ws8 is None else self.p._ws8[1]
@@ -1817,6 +1889,25 @@ class _FrameEncoder:
         self._chroma_residual(addr, mc_pred=(pred_u, pred_v))
         if int(st.cbp[addr]) == 0:
             st.skip_flag[addr] = 1
+
+
+_COEFF_COST_RUN = np.array(
+    [3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], np.int64)
+
+
+def _coeff_cost_4x4(lev, first: int = 0) -> int:
+    """JM coeff_cost of one 4x4 level block (lencod/src/block.c:899):
+    |level| > 1 counts 9, |level| == 1 counts COEFF_COST4x4[run]."""
+    cost = 0
+    run = -1
+    for k in range(first, 16):
+        x, y = _ZZ4[k]
+        run += 1
+        v = int(lev[y, x])
+        if v:
+            cost += 9 if abs(v) > 1 else int(_COEFF_COST_RUN[run])
+            run = -1
+    return cost
 
 
 def _est_coef_bits(lev) -> int:

@@ -190,14 +190,81 @@ def _lam_cost(lam, bits):
     return (lam >> 16) * bits + (((lam & 0xFFFF) * bits) >> 16)
 
 
+# JM single-coefficient cost by run length (lencod/inc/block.h:45
+# COEFF_COST4x4[0]); |level| > 1 counts as MAX (9).  Encoder-only
+# thresholding: isolated small coefficients in inter blocks cost more
+# bits than their distortion gain is worth.
+_COEFF_COST_RUN = jnp.asarray(
+    [3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.int32)
+_ZZ4_RASTER = jnp.asarray(
+    [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15], jnp.int32)
+
+
+def _block4_coeff_cost(lev, first: int = 0):
+    """JM coeff_cost of (..., 4, 4) level blocks (lencod/src/block.c:899
+    `*coeff_cost += (level > 1) ? MAX_VALUE : c_cost[run]`).
+
+    `first`: index of the first scan position coded (1 for AC blocks).
+    Returns (...,) int32 cost."""
+    flat = lev.reshape(*lev.shape[:-2], 16)
+    L = jnp.take(flat, _ZZ4_RASTER, axis=-1)[..., first:]
+    nz = L != 0
+    n = 16 - first
+    idx = jnp.arange(n)
+    marked = jnp.where(nz, idx, -1)
+    prev_incl = jax.lax.cummax(marked, axis=L.ndim - 1)
+    prev_excl = jnp.concatenate(
+        [jnp.full((*L.shape[:-1], 1), -1, marked.dtype),
+         prev_incl[..., :-1]], axis=-1)
+    run = idx - prev_excl - 1
+    cost = jnp.where(jnp.abs(L) > 1, 9, _COEFF_COST_RUN[run])
+    return jnp.where(nz, cost, 0).sum(-1)
+
+
+def _threshold_inter_luma(lev, rec, pred, orig):
+    """JM inter-luma coefficient thresholding (macroblock.c:1236/:1386):
+    per 8x8, drop all four 4x4 blocks when their summed coeff_cost is
+    <= _LUMA_COEFF_COST_ (4); then drop the whole MB's luma when the
+    surviving total is <= _LUMA_MB_COEFF_COST_ (5).
+
+    lev: (..., 4, 4, 4, 4) [brow, bcol, y, x]; rec/pred/orig: (..., 16, 16).
+    Returns (lev, rec, D, coefbits) after thresholding."""
+    cost4 = _block4_coeff_cost(lev)                     # (..., 4, 4)
+    c8 = (cost4.reshape(*cost4.shape[:-2], 2, 2, 2, 2)
+          .sum((-3, -1)))                               # (..., 2, 2) per 8x8
+    drop8 = c8 <= 4
+    kept8 = jnp.where(drop8, 0, c8)
+    drop_mb = kept8.sum((-1, -2)) <= 5                  # (...,)
+    drop4 = (jnp.repeat(jnp.repeat(drop8, 2, -1), 2, -2)
+             | drop_mb[..., None, None])                # (..., 4, 4) blocks
+    lev = jnp.where(drop4[..., None, None], 0, lev)
+    # dropped blocks reconstruct as pure prediction
+    pb = pred.reshape(*pred.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
+    rb = rec.reshape(*rec.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
+    rb = jnp.where(drop4[..., None, None], pb.clip(0, 255), rb)
+    rec = rb.swapaxes(-3, -2).reshape(*pred.shape)
+    d = orig - rec
+    D_ = (d * d).sum((-1, -2))
+    cb = _coef_bits(lev).sum((-1, -2))
+    return lev, rec, D_, cb
+
+
+def _wp_affine(x, w, o):
+    """Explicit weighted-prediction luma sample transform, logWD = 5
+    (spec §8.4.2.3.3; the decoder dual is decoder/recon.py _wp_uni)."""
+    return (((x * w + 16) >> 5) + o).clip(0, 255)
+
+
 # ---------------------------------------------------------------------------
 # the P pipeline
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "R", "stage"))
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "R", "stage", "use_wp"))
 def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
                   H: int, W: int, R: int, qp: int, qp_c: int,
-                  lam: int, lam_me: int, stage: int = 9, nref=None):
+                  lam: int, lam_me: int, stage: int = 9, nref=None,
+                  wp_w=None, wp_o=None, use_wp: bool = False):
     """Whole-frame RD P encode. banks: (NR, 4, Hp, Wp); cpads:
     (NR, 2, Hcp, Wcp).  lam/lam_me: lambda_mode / lambda_me << 16.
 
@@ -215,6 +282,15 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     n_my, n_mx = H // 16, W // 16
     n_mb = n_my * n_mx
     D = 2 * R + 1
+    if use_wp:
+        # full-pel search runs against the WEIGHTED reference plane so
+        # the SSD grids measure the true (post-WP) residual energy
+        # (lencod/src/weighted_prediction.c:30 DC-ratio estimation;
+        # weights are per-reference, luma only — JM P defaults)
+        search0 = _wp_affine(banks[:, 0], wp_w[:, None, None],
+                             wp_o[:, None, None])
+    else:
+        search0 = banks[:, 0]
 
     # ---- 1. per-8x8 SSD windows per reference --------------------------
     nby, nbx = H // 8, W // 8
@@ -245,7 +321,7 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         return r2 - 2 * cross + cur2[bi]
 
     ssd8 = jax.vmap(
-        lambda r: jax.vmap(lambda b: block_ssd(banks[r, 0], b))(
+        lambda r: jax.vmap(lambda b: block_ssd(search0[r], b))(
             jnp.arange(n_b8))
     )(jnp.arange(NR))  # (NR, n_b8, D, D)
     ssd8 = ssd8.reshape(NR, n_my, 2, n_mx, 2, D, D)
@@ -344,6 +420,8 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
             a = wins[t[0], sy + t[1]: sy + t[1] + h, sx + t[2]: sx + t[2] + w]
             b = wins[t[3], sy + t[4]: sy + t[4] + h, sx + t[5]: sx + t[5] + w]
             pred = (a + b + 1) >> 1
+            if use_wp:
+                pred = _wp_affine(pred, wp_w[ref], wp_o[ref])
             d = orig - pred
             ssd = (d * d).sum()
             rate = _mv_bits(base_x + ox - px) + _mv_bits(base_y + oy - py)
@@ -465,7 +543,8 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
             a = wins[t[0], t[1]: t[1] + 16, t[2]: t[2] + 16]
             b = wins[t[3], t[4]: t[4] + 16, t[5]: t[5] + 16]
             variants.append((a + b + 1) >> 1)
-        return jnp.stack(variants)[f]
+        v = jnp.stack(variants)[f]
+        return _wp_affine(v, wp_w[0], wp_o[0]) if use_wp else v
 
     pred_sk = jax.vmap(skip_pred)(jnp.arange(n_mb))
     preds = jnp.stack([
@@ -484,8 +563,9 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     off_inter = jnp.int32(Q.default_offset4(qp, False))
 
     def tq_recon(pred, orig):
-        """4x4 T/Q/IQ/IT recon vs pred; returns (levels(4,4,4,4), recon, D,
-        coefbits).  Leading batch dims allowed."""
+        """4x4 T/Q/IQ/IT recon vs pred with JM inter coefficient
+        thresholding; returns (levels(4,4,4,4), recon, D, coefbits).
+        Leading batch dims allowed."""
         res = orig - pred
         blk = res.reshape(*res.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
         co = TR.forward4x4(blk)
@@ -495,10 +575,7 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         pb = pred.reshape(*pred.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
         rec_b = ((rr + (pb << 6) + 32) >> 6).clip(0, 255)
         rec = rec_b.swapaxes(-3, -2).reshape(*pred.shape)
-        d = orig - rec
-        D_ = (d * d).sum((-1, -2))
-        cb = _coef_bits(lev).sum((-1, -2))
-        return lev, rec, D_, cb
+        return _threshold_inter_luma(lev, rec, pred, orig)
 
     lev_i, rec_i, D_i, cb_i = tq_recon(preds, orig_mb[None])
     # skip candidate: zero residual
@@ -722,6 +799,12 @@ def _chroma_tq(pred, orig, qp_c: int, intra: bool):
     off = jnp.int32(Q.default_offset4(qp_c, intra))
     lev = Q.quant4x4(co, qp_c, off)
     lev = lev.at[..., 0, 0].set(0)
+    if not intra:
+        # JM chroma AC thresholding (block.c:1384): per component, drop
+        # all AC coefficients when their coeff_cost < _CHROMA_COEFF_COST_
+        ac_cost = _block4_coeff_cost(lev, first=1).sum((-1, -2))  # (n, 2)
+        drop = (ac_cost < 4)[..., None, None, None, None]
+        lev = jnp.where(drop, 0, lev)
     deq = Q.dequant4x4(lev, qp_c).astype(jnp.int32)
     dc_deq = Q.dequant_chroma_dc(TR.hadamard2x2(dc_lev.astype(jnp.int32)),
                                  qp_c)
@@ -1333,8 +1416,7 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         pb = pred.reshape(*pred.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
         rec_b = ((rr + (pb << 6) + 32) >> 6).clip(0, 255)
         rec = rec_b.swapaxes(-3, -2).reshape(*pred.shape)
-        d = orig - rec
-        return lev, rec, (d * d).sum((-1, -2)), _coef_bits(lev).sum((-1, -2))
+        return _threshold_inter_luma(lev, rec, pred, orig)
 
     lev_i, rec_i, D_i, cb_i = tq_recon(preds, orig_mb[None])
     # rates: mb_type ue + mvd (+ te ref for list0 when NR0 > 1)
@@ -1527,6 +1609,108 @@ def rd_p_rows_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         jnp.pad(Uf, PAD, mode="edge"), jnp.pad(Vf, PAD, mode="edge")])
     col = tuple(c.reshape(-1, c.shape[-1]) for c in entries[2])
     return host_outs, (Yf, Uf, Vf), (new_bank, new_cpad, col)
+
+
+def rd_gop_rows_sharded(mesh, S: int, H: int, W: int, R: int, qp: int,
+                        qp_c: int, lam: int):
+    """Chained-GOP tile-row encoder over a (frame, row) mesh.
+
+    The real multi-chip shape (SURVEY.md §2.3): the `frame` axis shards
+    INDEPENDENT closed GOPs (the legal frame-level parallelism unit —
+    lencod/src/lencod.c:299 idr_period); within each GOP the P-frame
+    reference chain runs as an on-device lax.scan over S frames (no host
+    round trips), and each frame is split into one tile-row slice per
+    `row` shard.  Between frames, each row shard exchanges its recon
+    slab's border rows with its neighbors via lax.ppermute — the
+    search-range + interpolation-margin halo — and rebuilds its padded
+    reference bank locally, instead of replicating full-frame banks.
+
+    Returns a jitted fn(cy (F, S, G, Hg, W) u8, cu, cv, y0 (F, G, Hg, W)
+    i32, u0, v0) -> (host_outs (F, S, G, L), recon_y (F, S, G, Hg, W)):
+    y0/u0/v0 are the GOP-initial reference planes (the I-frame recon),
+    row-sharded like the frames.  One row group per `row` shard
+    (G == mesh row size); byte-exactness vs the single-device
+    rd_p_rows_pipeline holds for R <= Hg - 7 (halo coverage).
+    """
+    import jax
+    from jax.sharding import PartitionSpec as Pspec
+    from jax.experimental.shard_map import shard_map
+
+    n_row = mesh.shape["row"]
+    G = n_row
+    Hg = H // G
+    Hcg = Hg // 2
+    assert R + 7 <= Hg and R // 2 + 6 <= Hcg, "halo must cover the search"
+    fwd = [(r, r + 1) for r in range(n_row - 1)]
+    bwd = [(r, r - 1) for r in range(1, n_row)]
+
+    def _exchange(plane, pad, hloc):
+        """plane: (F, h, w) local recon slab; returns (F, h + 2*pad, w)
+        extended with up to `hloc` true halo rows from the row
+        neighbors (zeros beyond — never read for legal R)."""
+        n = min(pad, hloc)
+        bot = plane[:, -n:, :]
+        top = plane[:, :n, :]
+        from_above = jax.lax.ppermute(bot, "row", fwd)
+        from_below = jax.lax.ppermute(top, "row", bwd)
+        r_idx = jax.lax.axis_index("row")
+        edge_top = jnp.repeat(plane[:, :1, :], n, 1)
+        edge_bot = jnp.repeat(plane[:, -1:, :], n, 1)
+        from_above = jnp.where(r_idx == 0, edge_top, from_above)
+        from_below = jnp.where(r_idx == n_row - 1, edge_bot, from_below)
+        zpad = jnp.zeros((plane.shape[0], pad - n, plane.shape[2]),
+                         plane.dtype)
+        return jnp.concatenate(
+            [zpad, from_above, plane, from_below, zpad], axis=1)
+
+    def local_step(cy, cu, cv, y0, u0, v0):
+        # cy: (Fl, S, 1, Hg, W) — one row group per shard
+        Fl = cy.shape[0]
+        cy = cy[:, :, 0]
+        cu = cu[:, :, 0]
+        cv = cv[:, :, 0]
+
+        def bank_of(Y, U, V):
+            exty = _exchange(Y, PAD, Hg)
+            extu = _exchange(U, PAD, Hcg)
+            extv = _exchange(V, PAD, Hcg)
+            Ypad = jnp.pad(exty, ((0, 0), (0, 0), (PAD, PAD)), mode="edge")
+            bank = jax.vmap(_bank_from_pad)(Ypad)      # (Fl, 4, ., .)
+            cpad = jnp.stack([
+                jnp.pad(extu, ((0, 0), (0, 0), (PAD, PAD)), mode="edge"),
+                jnp.pad(extv, ((0, 0), (0, 0), (PAD, PAD)), mode="edge"),
+            ], axis=1)                                  # (Fl, 2, ., .)
+            return bank, cpad
+
+        def step(carry, xs):
+            Yr, Ur, Vr = carry
+            fy, fu, fv = xs  # (Fl, Hg, W) current source frame
+            bank, cpad = bank_of(Yr, Ur, Vr)
+            outs = jax.vmap(
+                lambda a, b, c, bk, cp: rd_p_pipeline(
+                    a, b, c, bk[None], cp[None],
+                    H=Hg, W=W, R=R, qp=qp, qp_c=qp_c, lam=lam, lam_me=lam)
+            )(fy, fu, fv, bank, cpad)
+            host_out, recon, _ = outs
+            return (recon[0], recon[1], recon[2]), (host_out, recon[0])
+
+        (_, _, _), (host_outs, recon_y) = jax.lax.scan(
+            step, (y0[:, 0], u0[:, 0], v0[:, 0]),
+            (cy.swapaxes(0, 1), cu.swapaxes(0, 1), cv.swapaxes(0, 1)))
+        # (S, Fl, L) -> (Fl, S, 1, L)
+        return (host_outs.transpose(1, 0, 2)[:, :, None],
+                recon_y.transpose(1, 0, 2, 3)[:, :, None])
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(Pspec("frame", None, "row"), Pspec("frame", None, "row"),
+                  Pspec("frame", None, "row"), Pspec("frame", "row"),
+                  Pspec("frame", "row"), Pspec("frame", "row")),
+        out_specs=(Pspec("frame", None, "row"),
+                   Pspec("frame", None, "row")),
+        check_rep=False,
+    )
+    return jax.jit(step)
 
 
 def rd_p_rows_sharded(mesh, H: int, W: int, R: int, qp: int, qp_c: int,
