@@ -626,14 +626,20 @@ class H264Encoder:
             G = fetched.shape[0]
             n_g = n_mb // G
             sz_g = [n_g, 4 * n_g, 4 * n_g, 4 * n_g, n_g, n_g,
-                    256 * n_g, 16 * n_g, 128 * n_g, 8 * n_g]
+                    256 * n_g, 16 * n_g, 128 * n_g, 8 * n_g, 16 * n_g]
             per_g = [np.split(row, np.cumsum(sz_g)[:-1]) for row in fetched]
             parts = [np.concatenate([pg[k] for pg in per_g])
                      for k in range(len(sz_g))]
+            # ipm rows are per-group (4*Hg, 4*W) planes: restack
+            Hg4 = 4 * (st.H // G)
+            ipm_plane = np.concatenate(
+                [pg[10].reshape(Hg4, 4 * st.W) for pg in per_g], axis=0)
         else:
             sizes = [n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, n_mb, n_mb,
-                     256 * n_mb, 16 * n_mb, 128 * n_mb, 8 * n_mb]
+                     256 * n_mb, 16 * n_mb, 128 * n_mb, 8 * n_mb,
+                     16 * n_mb]
             parts = np.split(fetched, np.cumsum(sizes)[:-1])
+            ipm_plane = parts[10].reshape(4 * st.H, 4 * st.W)
         win = parts[0]
         ref8 = parts[1].reshape(n_mb, 4)
         mv8x = parts[2].reshape(n_mb, 4)
@@ -652,7 +658,7 @@ class H264Encoder:
         if G > 1:
             st.lf_disable[:] = 2  # no filtering across slice edges
         self._fill_p_state_rd(st, win, ref8, mv8x, mv8y, i16mode, cip,
-                              lev, dc, levc, dcc, ref_pocs)
+                              lev, dc, levc, dcc, ref_pocs, ipm_plane)
         nr = len(ref_pocs)
         nals = []
         for g in range(G):
@@ -698,21 +704,28 @@ class H264Encoder:
         return nals
 
     def _fill_p_state_rd(self, st, win, ref8, mv8x, mv8y, i16mode, cip,
-                         lev, dc, levc, dcc, ref_pocs):
+                         lev, dc, levc, dcc, ref_pocs, ipm_plane=None):
         """Decode-state fill for the RD pipeline interchange buffer."""
         n_mb = st.n_mbs
         n_my, n_mx = st.H, st.W
-        intra = win == RD.C_I16
-        st.ipredmode[:] = 2
+        i4 = win == RD.C_I4
+        i16 = win == RD.C_I16
+        intra = i16 | i4
+        if ipm_plane is None:
+            st.ipredmode[:] = 2
+        else:
+            st.ipredmode[:] = ipm_plane.reshape(4 * n_my, 4 * n_mx)
         st.is_intra[:] = intra
-        st.i16mode[:] = np.where(intra, i16mode, -1)
+        st.i16mode[:] = np.where(i16, i16mode, -1)
         st.c_ipred_mode[:] = np.where(intra, cip, 0)
         # mb types / partition modes
         type_map = {RD.C_P16x16: M.P16x16, RD.C_P16x8: M.P16x8,
                     RD.C_P8x16: M.P8x16, RD.C_P8x8: M.P8x8,
-                    RD.C_SKIP: M.P16x16, RD.C_I16: M.I16MB}
+                    RD.C_SKIP: M.P16x16, RD.C_I16: M.I16MB,
+                    RD.C_I4: M.I4MB}
         b8_map = {RD.C_P16x16: 1, RD.C_P16x8: 2, RD.C_P8x16: 3,
-                  RD.C_P8x8: M.B8_8x8, RD.C_SKIP: 1, RD.C_I16: 0}
+                  RD.C_P8x8: M.B8_8x8, RD.C_SKIP: 1, RD.C_I16: 0,
+                  RD.C_I4: M.IBLOCK}
         st.mb_type[:] = np.vectorize(type_map.get)(win)
         st.b8mode[:] = np.vectorize(b8_map.get)(win)[:, None]
         st.b8pdir[:] = np.where(intra, -1, 0)[:, None]
@@ -737,22 +750,22 @@ class H264Encoder:
             for bc in range(4):
                 zperm[int(M.XY_TO_BLK4[br, bc])] = br * 4 + bc
         st.luma_levels[:] = lev.reshape(n_mb, 16, 4, 4)[:, zperm]
-        st.luma_dc[:] = np.where(intra[:, None, None], dc, 0)
+        st.luma_dc[:] = np.where(i16[:, None, None], dc, 0)
         st.chroma_levels[:] = levc.reshape(n_mb, 2, 4, 4, 4)
         st.chroma_dc[:] = dcc
-        # cbp
+        # cbp: I16 -> all-or-nothing luma; I4/inter -> per-8x8 bits
         nz4 = lev.any(axis=(3, 4))  # (n_mb, br, bc)
         q8 = nz4.reshape(n_mb, 2, 2, 2, 2).any(axis=(2, 4))
         cbp_inter = (q8[:, 0, 0] * 1 + q8[:, 0, 1] * 2 + q8[:, 1, 0] * 4
                      + q8[:, 1, 1] * 8)
-        cbp_l = np.where(intra, np.where(nz4.any((1, 2)), 15, 0), cbp_inter)
+        cbp_l = np.where(i16, np.where(nz4.any((1, 2)), 15, 0), cbp_inter)
         has_ac = levc.any(axis=(2, 3, 4, 5)).any(axis=1)
         has_dc = dcc.any(axis=(2, 3)).any(axis=1)
         cbp_c = np.where(has_ac, 2, np.where(has_dc, 1, 0))
         st.cbp[:] = cbp_l + 16 * cbp_c
         weights = (1 << np.arange(16, dtype=np.int64)).reshape(4, 4)
         cbp_blk = (nz4 * weights).sum(axis=(1, 2))
-        dc_any = dc.any(axis=(1, 2)) & intra
+        dc_any = dc.any(axis=(1, 2)) & i16
         st.cbp_blk = (cbp_blk | dc_any).tolist()
         # exact PMV/MVD + skip detection (whole-frame vectorized; legal
         # because every neighbor MV above is final device output)
@@ -901,7 +914,8 @@ class H264Encoder:
         if fetched is None:
             fetched = np.asarray(host_out)
         sizes = [n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb,
-                 n_mb, n_mb, 256 * n_mb, 16 * n_mb, 128 * n_mb, 8 * n_mb]
+                 n_mb, n_mb, 256 * n_mb, 16 * n_mb, 128 * n_mb, 8 * n_mb,
+                 16 * n_mb]
         parts = np.split(fetched, np.cumsum(sizes)[:-1])
         win = parts[0]
         idx0 = parts[1].reshape(n_mb, 4)
@@ -915,9 +929,11 @@ class H264Encoder:
         dc = parts[9].reshape(n_mb, 4, 4)
         levc = parts[10].reshape(n_mb, 2, 2, 2, 4, 4)
         dcc = parts[11].reshape(n_mb, 2, 2, 2)
+        ipm_plane = parts[12].reshape(4 * H, 4 * W)
         planes.Y, planes.U, planes.V = recon
         self._fill_b_state_rd(st, win, idx0, m0x, m0y, m1x, m1y, i16mode,
-                              cip, lev, dc, levc, dcc, poc, pocs0, poc1)
+                              cip, lev, dc, levc, dcc, poc, pocs0, poc1,
+                              ipm_plane)
         nr0 = len(pocs0)
         sh = SliceHeader(
             slice_type_code=SliceType.B.value,
@@ -945,21 +961,28 @@ class H264Encoder:
         return [NalUnit(1, 0, w.get_bytes())]
 
     def _fill_b_state_rd(self, st, win, idx0, m0x, m0y, m1x, m1y, i16mode,
-                         cip, lev, dc, levc, dcc, poc, pocs0, poc1):
+                         cip, lev, dc, levc, dcc, poc, pocs0, poc1,
+                         ipm_plane=None):
         n_mb = st.n_mbs
         n_my, n_mx = st.H, st.W
         NONE = -(10 ** 9)
-        intra = win == RD.B_I16
+        i4 = win == RD.B_I4
+        i16 = win == RD.B_I16
+        intra = i16 | i4
         direct = (win == RD.B_DIRECT) | (win == RD.B_DIRECT_ZERO)
-        st.ipredmode[:] = 2
+        if ipm_plane is None:
+            st.ipredmode[:] = 2
+        else:
+            st.ipredmode[:] = ipm_plane.reshape(4 * n_my, 4 * n_mx)
         st.is_intra[:] = intra
-        st.i16mode[:] = np.where(intra, i16mode, -1)
+        st.i16mode[:] = np.where(i16, i16mode, -1)
         st.c_ipred_mode[:] = np.where(intra, cip, 0)
         st.mb_type[:] = np.where(
             direct, M.BSKIP_DIRECT,
-            np.where(intra, M.I16MB, M.P16x16))
-        st.b8mode[:] = np.where(direct, M.B8_DIRECT,
-                                np.where(intra, 0, 1))[:, None]
+            np.where(i4, M.I4MB, np.where(i16, M.I16MB, M.P16x16)))
+        st.b8mode[:] = np.where(
+            direct, M.B8_DIRECT,
+            np.where(i4, M.IBLOCK, np.where(i16, 0, 1)))[:, None]
         pd = np.where(win == RD.B_L0, M.PD_L0,
                       np.where(win == RD.B_L1, M.PD_L1, M.PD_BI))
         st.b8pdir[:] = np.where(intra, M.PD_INTRA, pd)[:, None]
@@ -969,21 +992,21 @@ class H264Encoder:
             for bc in range(4):
                 zperm[int(M.XY_TO_BLK4[br, bc])] = br * 4 + bc
         st.luma_levels[:] = lev.reshape(n_mb, 16, 4, 4)[:, zperm]
-        st.luma_dc[:] = np.where(intra[:, None, None], dc, 0)
+        st.luma_dc[:] = np.where(i16[:, None, None], dc, 0)
         st.chroma_levels[:] = levc.reshape(n_mb, 2, 4, 4, 4)
         st.chroma_dc[:] = dcc
         nz4 = lev.any(axis=(3, 4))
         q8 = nz4.reshape(n_mb, 2, 2, 2, 2).any(axis=(2, 4))
         cbp_inter = (q8[:, 0, 0] * 1 + q8[:, 0, 1] * 2 + q8[:, 1, 0] * 4
                      + q8[:, 1, 1] * 8)
-        cbp_l = np.where(intra, np.where(nz4.any((1, 2)), 15, 0), cbp_inter)
+        cbp_l = np.where(i16, np.where(nz4.any((1, 2)), 15, 0), cbp_inter)
         has_ac = levc.any(axis=(2, 3, 4, 5)).any(axis=1)
         has_dc = dcc.any(axis=(2, 3)).any(axis=1)
         cbp_c = np.where(has_ac, 2, np.where(has_dc, 1, 0))
         st.cbp[:] = cbp_l + 16 * cbp_c
         weights = (1 << np.arange(16, dtype=np.int64)).reshape(4, 4)
         st.cbp_blk = ((nz4 * weights).sum(axis=(1, 2))
-                      | (dc.any(axis=(1, 2)) & intra)).tolist()
+                      | (dc.any(axis=(1, 2)) & i16)).tolist()
 
         # motion state: explicit 16x16 first (direct derived after)
         def to_pic4(a8):

@@ -43,8 +43,10 @@ PAD = MC.PAD
 
 # candidate mode indices (winner codes in the host interchange buffer)
 C_P16x16, C_P16x8, C_P8x16, C_P8x8, C_SKIP, C_I16 = 0, 1, 2, 3, 4, 5
+C_I4 = 6  # intra 4x4 (decided in the commit scan, I16 vs I4)
 # B-pipeline winner codes (separate table; B candidate set)
 B_DIRECT, B_L0, B_L1, B_BI, B_I16, B_L0_16x8, B_L0_8x16 = 0, 1, 2, 3, 4, 5, 6
+B_I4 = 8
 
 # quarter-pel sample = avg of two plane-bank samples (G=0, b=1, h=2, j=3);
 # table[frac] = (plane0, oy0, ox0, plane1, oy1, ox1), frac = (mvy&3)*4+(mvx&3).
@@ -664,9 +666,10 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
 
     # ---- intra commit scan (raster; decoder-exact neighbors) ------------
     (rec_y, rec_u, rec_v, w_lev, lum_dc, i16mode, cip,
-     levc, dcc) = _intra_commit_scan(
+     levc, dcc, i4flag, ipm) = _intra_commit_scan(
         cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
-        levc, dcc, H, W, qp, qp_c)
+        levc, dcc, H, W, qp, qp_c, lam=lam)
+    win = jnp.where(i4flag == 1, jnp.int32(C_I4), win)
 
     if stage == 6:
         return rec_y.sum() + rec_u.sum() + rec_v.sum(), None, None
@@ -705,6 +708,7 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         i16mode.reshape(-1), cip.reshape(-1),
         w_lev.reshape(-1), lum_dc.reshape(-1),
         levc.reshape(-1), dcc.reshape(-1),
+        ipm.reshape(-1),
     ])
     # colocated-motion snapshot for temporal direct in future B pictures
     # (final per-4x4 list-0 motion of this picture; stays on device)
@@ -816,34 +820,209 @@ def _chroma_tq(pred, orig, qp_c: int, intra: bool):
     return lev, dc_lev, rec, None
 
 
+# 4x4 block decode order (z-order) -> (bx, by), and internal up-right
+# availability: for by > 0 the up-right block must precede in decode
+# order (spec §6.4.8 via mb_access semantics)
+_BLK4_XY = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+            (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]
+_XY_TO_BLK = {xy: k for k, xy in enumerate(_BLK4_XY)}
+_I4_AUR_INT = [
+    (by > 0 and bx < 3 and _XY_TO_BLK[(bx + 1, by - 1)] < blk)
+    for blk, (bx, by) in enumerate(_BLK4_XY)
+]
+
+
+def _i4_pred9(up, ur, left, X, au, al, aul, aur):
+    """All nine 4x4 intra predictions (spec §8.3.1.2; the batched dual of
+    ops/intra.py pred4x4).  up/ur/left: (4,) int32; X scalar; a*: bool
+    scalars.  Returns (preds (9, 4, 4), valid (9,))."""
+    dcv = jnp.int32(128)
+    upv = jnp.where(au, up, dcv)
+    A, B, C, D = upv[0], upv[1], upv[2], upv[3]
+    urv = jnp.where(aur, ur, D)
+    E, F, G_, H_ = urv[0], urv[1], urv[2], urv[3]
+    lfv = jnp.where(al, left, dcv)
+    I, J, K, L = lfv[0], lfv[1], lfv[2], lfv[3]
+    Xv = jnp.where(aul, X, dcv)
+
+    def m(rows):
+        return jnp.stack([jnp.stack(r) for r in rows])
+
+    vert = jnp.broadcast_to(upv[None, :], (4, 4))
+    hor = jnp.broadcast_to(lfv[:, None], (4, 4))
+    dc = jnp.where(
+        au & al, (A + B + C + D + I + J + K + L + 4) >> 3,
+        jnp.where(al, (I + J + K + L + 2) >> 2,
+                  jnp.where(au, (A + B + C + D + 2) >> 2, dcv)))
+    dcp = jnp.broadcast_to(dc, (4, 4))
+    d0 = (A + C + 2 * B + 2) >> 2
+    d1 = (B + D + 2 * C + 2) >> 2
+    d2 = (C + E + 2 * D + 2) >> 2
+    d3 = (D + F + 2 * E + 2) >> 2
+    d4 = (E + G_ + 2 * F + 2) >> 2
+    d5 = (F + H_ + 2 * G_ + 2) >> 2
+    d6 = (G_ + 3 * H_ + 2) >> 2
+    ddl = m([[d0, d1, d2, d3], [d1, d2, d3, d4],
+             [d2, d3, d4, d5], [d3, d4, d5, d6]])
+    r0 = (L + 2 * K + J + 2) >> 2
+    r1 = (K + 2 * J + I + 2) >> 2
+    r2 = (J + 2 * I + Xv + 2) >> 2
+    r3 = (I + 2 * Xv + A + 2) >> 2
+    r4 = (Xv + 2 * A + B + 2) >> 2
+    r5 = (A + 2 * B + C + 2) >> 2
+    r6 = (B + 2 * C + D + 2) >> 2
+    ddr = m([[r3, r4, r5, r6], [r2, r3, r4, r5],
+             [r1, r2, r3, r4], [r0, r1, r2, r3]])
+    v0 = (Xv + A + 1) >> 1
+    v1 = (A + B + 1) >> 1
+    v2 = (B + C + 1) >> 1
+    v3 = (C + D + 1) >> 1
+    v4 = (I + 2 * Xv + A + 2) >> 2
+    v5 = (Xv + 2 * A + B + 2) >> 2
+    v6 = (A + 2 * B + C + 2) >> 2
+    v7 = (B + 2 * C + D + 2) >> 2
+    v8 = (Xv + 2 * I + J + 2) >> 2
+    v9 = (I + 2 * J + K + 2) >> 2
+    vr = m([[v0, v1, v2, v3], [v4, v5, v6, v7],
+            [v8, v0, v1, v2], [v9, v4, v5, v6]])
+    l0 = (A + B + 1) >> 1
+    l1 = (B + C + 1) >> 1
+    l2 = (C + D + 1) >> 1
+    l3 = (D + E + 1) >> 1
+    l4 = (E + F + 1) >> 1
+    l5 = (A + 2 * B + C + 2) >> 2
+    l6 = (B + 2 * C + D + 2) >> 2
+    l7 = (C + 2 * D + E + 2) >> 2
+    l8 = (D + 2 * E + F + 2) >> 2
+    l9 = (E + 2 * F + G_ + 2) >> 2
+    vl = m([[l0, l1, l2, l3], [l5, l6, l7, l8],
+            [l1, l2, l3, l4], [l6, l7, l8, l9]])
+    u0 = (I + J + 1) >> 1
+    u1 = (I + 2 * J + K + 2) >> 2
+    u2 = (J + K + 1) >> 1
+    u3 = (J + 2 * K + L + 2) >> 2
+    u4 = (K + L + 1) >> 1
+    u5 = (K + 3 * L + 2) >> 2
+    hu = m([[u0, u1, u2, u3], [u2, u3, u4, u5],
+            [u4, u5, L, L], [L, L, L, L]])
+    h0 = (Xv + I + 1) >> 1
+    h1 = (I + 2 * Xv + A + 2) >> 2
+    h2 = (Xv + 2 * A + B + 2) >> 2
+    h3 = (A + 2 * B + C + 2) >> 2
+    h4 = (I + J + 1) >> 1
+    h5 = (Xv + 2 * I + J + 2) >> 2
+    h6 = (J + K + 1) >> 1
+    h7 = (I + 2 * J + K + 2) >> 2
+    h8 = (K + L + 1) >> 1
+    h9 = (J + 2 * K + L + 2) >> 2
+    hd = m([[h0, h1, h2, h3], [h4, h5, h0, h1],
+            [h6, h7, h4, h5], [h8, h9, h6, h7]])
+    preds = jnp.stack([vert, hor, dcp, ddl, ddr, vr, hd, vl, hu])
+    T = jnp.asarray(True)
+    valid = jnp.stack([au, al, T, au, au & al & aul, au & al & aul,
+                       au & al & aul, au, al])
+    return preds, valid
+
+
 def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
-                       levc, dcc, H: int, W: int, qp: int, qp_c: int):
+                       levc, dcc, H: int, W: int, qp: int, qp_c: int,
+                       lam=0):
     """Raster commit: assemble the recon planes; intra MBs are re-decided
-    and reconstructed against final neighbor recon (decoder semantics)."""
+    (I16 vs I4x4, per-block 9-mode decision against final neighbor recon
+    — decoder semantics, the batched analog of rdopt.c:597
+    Mode_Decision_for_4x4IntraBlocks) and reconstructed in place."""
     n_my, n_mx = H // 16, W // 16
     n_mb = n_my * n_mx
     Hc, Wc = H // 2, W // 2
     lum_dc = jnp.zeros((n_mb, 4, 4), jnp.int32)
     i16mode = jnp.zeros((n_mb,), jnp.int32)
     cip = jnp.zeros((n_mb,), jnp.int32)
-    # 1-pel border for neighbor reads
-    Yp = jnp.pad(cur_y * 0, ((1, 0), (1, 0)))
+    i4flag = jnp.zeros((n_mb,), jnp.int32)
+    # 1-pel top/left border + 4-pel right margin for up-right reads
+    Yp = jnp.pad(cur_y * 0, ((1, 0), (1, 4)))
     Up = jnp.zeros((Hc + 1, Wc + 1), jnp.int32)
     Vp = jnp.zeros((Hc + 1, Wc + 1), jnp.int32)
+    # per-4x4 intra-mode plane (decoder ipredmode semantics: -1 outside,
+    # DC for non-I4 MBs), 1-pel top/left border
+    ipm = jnp.full((4 * n_my + 1, 4 * n_mx + 1), -1, jnp.int32)
 
     orig_mb = (cur_y.reshape(n_my, 16, n_mx, 16).transpose(0, 2, 1, 3)
                .reshape(n_mb, 16, 16))
     orig_c = jnp.stack([cur_u, cur_v]).reshape(
         2, n_my, 8, n_mx, 8).transpose(1, 3, 0, 2, 4).reshape(n_mb, 2, 8, 8)
+    off_intra = jnp.int32(Q.default_offset4(qp, True))
 
     def body(carry, i):
-        Yp, Up, Vp, w_lev, levc, dcc, lum_dc, i16mode, cip = carry
+        (Yp, Up, Vp, ipm, w_lev, levc, dcc, lum_dc, i16mode, cip,
+         i4flag) = carry
         r = i // n_mx
         c = i % n_mx
         y0, x0 = 16 * r, 16 * c
         yc, xc = 8 * r, 8 * c
         au = r > 0
         al = c > 0
+        avc = c < n_mx - 1
+
+        def i4_decide(_):
+            """Sequential 16-block I4 decision + recon.  Returns
+            (rec (16,16), lev (4,4,4,4), D, coefbits+modebits,
+            modes (4,4))."""
+            # workspace: rows y0..y0+16, cols x0..x0+20 of the padded
+            # plane (1-px top/left border included)
+            work = jax.lax.dynamic_slice(Yp, (y0, x0), (17, 21))
+            mwork = jax.lax.dynamic_slice(ipm, (4 * r, 4 * c), (5, 5))
+            lev_mb = jnp.zeros((4, 4, 4, 4), jnp.int32)
+            D_tot = jnp.int32(0)
+            bits = jnp.int32(0)
+            for blk in range(16):
+                bx, by = _BLK4_XY[blk]
+                px, py = 1 + 4 * bx, 1 + 4 * by
+                up = work[py - 1, px : px + 4]
+                urr = work[py - 1, px + 4 : px + 8]
+                lf = work[py : py + 4, px - 1]
+                X = work[py - 1, px - 1]
+                au_b = au if by == 0 else jnp.asarray(True)
+                al_b = al if bx == 0 else jnp.asarray(True)
+                if by == 0:
+                    aur_b = (au & avc) if bx == 3 else au
+                else:
+                    aur_b = jnp.asarray(_I4_AUR_INT[blk])
+                if bx > 0 and by > 0:
+                    aul_b = jnp.asarray(True)
+                elif bx == 0 and by == 0:
+                    aul_b = au & al
+                elif bx == 0:
+                    aul_b = al
+                else:
+                    aul_b = au
+                preds, valid = _i4_pred9(up, urr, lf, X, au_b, al_b,
+                                         aul_b, aur_b)
+                # most probable mode (decoder rule)
+                lm = mwork[1 + by, bx]
+                um = mwork[by, 1 + bx]
+                mpm = jnp.where((lm < 0) | (um < 0), 2, jnp.minimum(lm, um))
+                ob = orig_mb[i, 4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4]
+                d = ob[None] - preds
+                ssd = (d * d).sum((-1, -2))
+                mb_bits = jnp.where(jnp.arange(9) == mpm, 1, 4)
+                costs = jnp.where(valid, ssd + _lam_cost(lam, mb_bits),
+                                  jnp.int32(1 << 29))
+                mode = jnp.argmin(costs).astype(jnp.int32)
+                pred = preds[mode]
+                # T/Q/IQ/IT recon
+                res = ob - pred
+                co = TR.forward4x4(res)
+                lev = Q.quant4x4(co, qp, off_intra)
+                deq = Q.dequant4x4(lev, qp).astype(jnp.int32)
+                rr = TR.inverse4x4(deq)
+                rec = ((rr + (pred << 6) + 32) >> 6).clip(0, 255)
+                dd = ob - rec
+                D_tot = D_tot + (dd * dd).sum()
+                bits = bits + _coef_bits(lev) + mb_bits[mode]
+                lev_mb = lev_mb.at[by, bx].set(lev)
+                work = jax.lax.dynamic_update_slice(work, rec, (py, px))
+                mwork = mwork.at[1 + by, 1 + bx].set(mode)
+            return work[1:, 1:17], lev_mb, D_tot, bits, mwork[1:, 1:]
 
         def intra_case(_):
             up = jax.lax.dynamic_slice(Yp, (y0, x0 + 1), (1, 16))[0]
@@ -852,7 +1031,15 @@ def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
             pred, mode, _ = _i16_pred_all(
                 up[None], left[None], ul[None], au[None], al[None],
                 orig_mb[i][None])
-            lev, dclev, rec, _, _ = _i16_tq(pred[0], orig_mb[i], qp)
+            lev, dclev, rec, D16, cb16 = _i16_tq(pred[0], orig_mb[i], qp)
+            J16 = D16 + _lam_cost(lam, cb16 + 8)
+            rec4, lev4, D4, cb4, modes4 = i4_decide(None)
+            J4 = D4 + _lam_cost(lam, cb4 + 9)
+            use4 = J4 < J16
+            rec = jnp.where(use4, rec4, rec)
+            lev = jnp.where(use4, lev4, lev)
+            dclev = jnp.where(use4, 0, dclev)
+            modes4 = jnp.where(use4, modes4, 2)
             # chroma: 4 modes vs recon neighbors
             upc = jnp.stack([
                 jax.lax.dynamic_slice(Up, (yc, xc + 1), (1, 8))[0],
@@ -871,18 +1058,21 @@ def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
             clev, cdc, crec, _ = _chroma_tq(
                 cpred[None], orig_c[i][None], qp_c, intra=True)
             return (rec, crec[0], lev, dclev, mode[0], cmode,
-                    clev[0], cdc[0])
+                    clev[0], cdc[0], use4.astype(jnp.int32), modes4)
 
         def inter_case(_):
             return (w_rec[i], recc[i],
                     w_lev[i], jnp.zeros((4, 4), jnp.int32),
-                    jnp.int32(0), jnp.int32(0), levc[i], dcc[i])
+                    jnp.int32(0), jnp.int32(0), levc[i], dcc[i],
+                    jnp.int32(0), jnp.full((4, 4), 2, jnp.int32))
 
-        rec, crec, lev, dclev, mode, cmode, clev, cdc = jax.lax.cond(
-            is_intra[i], intra_case, inter_case, None)
+        (rec, crec, lev, dclev, mode, cmode, clev, cdc, use4,
+         modes4) = jax.lax.cond(is_intra[i], intra_case, inter_case, None)
         Yp = jax.lax.dynamic_update_slice(Yp, rec, (y0 + 1, x0 + 1))
         Up = jax.lax.dynamic_update_slice(Up, crec[0], (yc + 1, xc + 1))
         Vp = jax.lax.dynamic_update_slice(Vp, crec[1], (yc + 1, xc + 1))
+        ipm = jax.lax.dynamic_update_slice(
+            ipm, modes4, (4 * r + 1, 4 * c + 1))
         w_lev = jax.lax.dynamic_update_slice(
             w_lev, lev[None], (i, 0, 0, 0, 0))
         levc = jax.lax.dynamic_update_slice(
@@ -891,13 +1081,15 @@ def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
         lum_dc = jax.lax.dynamic_update_slice(lum_dc, dclev[None], (i, 0, 0))
         i16mode = i16mode.at[i].set(mode)
         cip = cip.at[i].set(cmode)
-        return (Yp, Up, Vp, w_lev, levc, dcc, lum_dc, i16mode, cip), None
+        i4flag = i4flag.at[i].set(use4)
+        return (Yp, Up, Vp, ipm, w_lev, levc, dcc, lum_dc, i16mode, cip,
+                i4flag), None
 
-    init = (Yp, Up, Vp, w_lev, levc, dcc, lum_dc, i16mode, cip)
-    (Yp, Up, Vp, w_lev, levc, dcc, lum_dc, i16mode, cip), _ = jax.lax.scan(
-        body, init, jnp.arange(n_mb))
-    return (Yp[1:, 1:], Up[1:, 1:], Vp[1:, 1:], w_lev, lum_dc, i16mode,
-            cip, levc, dcc)
+    init = (Yp, Up, Vp, ipm, w_lev, levc, dcc, lum_dc, i16mode, cip, i4flag)
+    (Yp, Up, Vp, ipm, w_lev, levc, dcc, lum_dc, i16mode, cip,
+     i4flag), _ = jax.lax.scan(body, init, jnp.arange(n_mb))
+    return (Yp[1:, 1 : 4 * n_mx * 4 + 1], Up[1:, 1:], Vp[1:, 1:], w_lev,
+            lum_dc, i16mode, cip, levc, dcc, i4flag, ipm[1:, 1:])
 
 
 def _chroma_pred4(up, left, ul, au, al):
@@ -1516,9 +1708,10 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
 
     # ---- intra commit + deblock ------------------------------------------
     (rec_y, rec_u, rec_v, w_lev, lum_dc, i16mode, cip,
-     levc, dcc) = _intra_commit_scan(
+     levc, dcc, i4flag, ipm) = _intra_commit_scan(
         cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
-        levc, dcc, H, W, qp, qp_c)
+        levc, dcc, H, W, qp, qp_c, lam=lam)
+    win = jnp.where(i4flag == 1, jnp.int32(B_I4), win)
 
     nz4 = (w_lev != 0).any((-1, -2))
     nz4 = nz4 | (is_intra[:, None, None] & (lum_dc != 0).any(
@@ -1549,6 +1742,7 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         i16mode.reshape(-1), cip.reshape(-1),
         w_lev.reshape(-1), lum_dc.reshape(-1),
         levc.reshape(-1), dcc.reshape(-1),
+        ipm.reshape(-1),
     ])
     return host_out, (dy_, du_, dv_)
 

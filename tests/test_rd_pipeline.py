@@ -198,3 +198,35 @@ def test_rows_sharded_bitexact():
     for f in range(F):
         assert np.array_equal(host_outs[f], ref_outs[f][0]), "host buffers"
         assert np.array_equal(rec_y[f], ref_outs[f][1]), "recon planes"
+
+
+def test_rd_i4_intra_in_p():
+    """Scene-change P frames must engage the I4x4 intra decision in the
+    device commit scan (rdopt.c:597 Mode_Decision_for_4x4IntraBlocks
+    analog) and stay bit-exact through our decoder and ldecod."""
+    rng = np.random.RandomState(3)
+    W, H = 176, 144
+    f0 = (np.add.outer(np.arange(H), np.arange(W)) % 256).astype(np.uint8)
+    base = rng.randint(0, 255, (H, W)).astype(np.float32)
+    f1 = ((base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3).astype(
+        np.uint8)
+    u = np.full((H // 2, W // 2), 120, np.uint8)
+    v = np.full((H // 2, W // 2), 130, np.uint8)
+    frames = [(f0, u, v), (f1, u, v)]
+    enc = H264Encoder(EncoderConfig(
+        width=W, height=H, qp=30, fast=True, entropy="cabac",
+        num_ref_frames=1, search_range=8))
+    stream = enc.encode_sequence(frames)
+    recs = {}
+    for poc, pl in enc.all_recons:
+        recs.setdefault(poc, pl)
+    ours = b"".join(
+        np.asarray(p).astype(np.uint8).tobytes()
+        for poc in sorted(recs)
+        for p in (recs[poc].Y, recs[poc].U, recs[poc].V))
+    pics = decode_annexb(stream)
+    assert b"".join(p.to_yuv_bytes() for p in pics) == ours
+    pst = max(pics, key=lambda p: p.poc).state
+    assert int((pst.mb_type == 9).sum()) > 0, "no I4 MBs chosen"
+    if have_ldecod():
+        assert jm_decode(stream) == ours
