@@ -83,13 +83,14 @@ def encode_once(frames, qp, timed=False, keep_stream=None):
 
 
 def decode_fps(stream: bytes, n_pics: int) -> float:
-    """Decode throughput on our own QP-28 stream (native CABAC parse +
-    batched device reconstruction); one warmup pass compiles."""
+    """Decode throughput on our own QP-28 stream: native CABAC parse +
+    native full-picture reconstruction (the host runtime path; the
+    device path remains for TPU-batched reconstruction)."""
     from h264_tpu.decoder.decoder import decode_annexb
 
-    decode_annexb(stream, use_device=True)  # jit warmup
+    decode_annexb(stream)  # warmup (builds native libs on first use)
     t0 = time.time()
-    pics = decode_annexb(stream, use_device=True)
+    pics = decode_annexb(stream)
     dt = time.time() - t0
     assert len(pics) == n_pics
     return n_pics / dt

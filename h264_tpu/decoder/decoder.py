@@ -451,7 +451,15 @@ class H264Decoder:
             )
             slice_wp.append(build_wp_params(sh, pps, lists, poc))
 
-        if sh0.slice_type != SliceType.I:
+        native_done = False
+        if not self.use_device:
+            # native runtime tail: MV derivation + full reconstruction in
+            # one C pass (native/recon.c); falls back to the oracle below
+            from ..native import recon_picture as native_recon
+
+            native_done = native_recon(
+                state, sps, pps, planes, slice_info, slice_refs, slice_wp)
+        if not native_done and sh0.slice_type != SliceType.I:
             derive_mvs(state, state.slice_id, slice_info)
 
         recon = PictureReconstructor(
@@ -462,19 +470,27 @@ class H264Decoder:
         if n_missing:
             state.lf_disable[missing] = 1  # JM order: filter, then conceal
         inter_done = None
-        if (self.use_device and sps.bit_depth_luma == 8
+        dev_finalize = None
+        if (not native_done and self.use_device and sps.bit_depth_luma == 8
                 and sps.chroma_format_idc == 1):
             from .device import decode_inter_picture
 
-            inter_done = decode_inter_picture(
+            out = decode_inter_picture(
                 state, sps, pps, planes, slice_info, slice_lists, slice_wp
             )
-        for addr in range(state.n_mbs):
-            if missing[addr]:
-                continue
-            if inter_done is not None and inter_done[addr]:
-                continue
-            recon.recon_mb(addr)
+            if out is not None:
+                inter_done, dev_finalize = out
+        if dev_finalize is not None:
+            # one packed d2h fetch; intra MBs below predict from the
+            # fetched inter neighbors (decoder raster semantics)
+            dev_finalize()
+        if not native_done:
+            for addr in range(state.n_mbs):
+                if missing[addr]:
+                    continue
+                if inter_done is not None and inter_done[addr]:
+                    continue
+                recon.recon_mb(addr)
         deblock_picture(state, sps, planes)
         if n_missing:
             from .erc import conceal_missing

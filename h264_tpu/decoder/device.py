@@ -269,7 +269,9 @@ def _decode_inter(banks, cpads, refmap, mv, ref_idx, sid4,
     rec_c = jnp.where(inter_mask[:, None, None, None], rec_c, 0)
     C = (rec_c.reshape(n_my, n_mx, 2, 8, 8).transpose(2, 0, 3, 1, 4)
          .reshape(2, Hc, Wc))
-    return Y, C[0], C[1]
+    # ONE flat output so the host pays a single d2h round trip
+    return jnp.concatenate(
+        [Y.reshape(-1), C[0].reshape(-1), C[1].reshape(-1)])
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +356,7 @@ def decode_inter_picture(state, sps, pps, planes, slice_infos, slice_lists,
         return None
     sid4 = np.repeat(np.repeat(sid_mb.reshape(state.H, state.W), 4, 0), 4, 1)
 
-    Y, U, V = _decode_inter(
+    packed = _decode_inter(
         banks, cpads, jnp.asarray(refmap),
         jnp.asarray(state.mv), jnp.asarray(state.ref_idx, np.int32),
         jnp.asarray(sid4),
@@ -369,12 +371,21 @@ def decode_inter_picture(state, sps, pps, planes, slice_infos, slice_lists,
         jnp.asarray(ils4y), jnp.asarray(ils8y), jnp.asarray(ils4c),
         H=H, W=W, NS=NS,
     )
-    Yh = np.asarray(Y)
-    Uh = np.asarray(U)
-    Vh = np.asarray(V)
-    m16 = np.repeat(np.repeat(inter.reshape(state.H, state.W), 16, 0), 16, 1)
-    m8 = np.repeat(np.repeat(inter.reshape(state.H, state.W), 8, 0), 8, 1)
-    planes.Y[m16] = Yh[m16]
-    planes.U[m8] = Uh[m8]
-    planes.V[m8] = Vh[m8]
-    return inter
+
+    def finalize():
+        """Fetch (one d2h) + commit inter pixels; call after host work so
+        the transfer latency hides under the intra/MV host pass."""
+        flat = np.asarray(packed)
+        Hc, Wc = H // 2, W // 2
+        Yh = flat[: H * W].reshape(H, W)
+        Uh = flat[H * W : H * W + Hc * Wc].reshape(Hc, Wc)
+        Vh = flat[H * W + Hc * Wc :].reshape(Hc, Wc)
+        m16 = np.repeat(np.repeat(inter.reshape(state.H, state.W), 16, 0),
+                        16, 1)
+        m8 = np.repeat(np.repeat(inter.reshape(state.H, state.W), 8, 0),
+                       8, 1)
+        planes.Y[m16] = Yh[m16]
+        planes.U[m8] = Uh[m8]
+        planes.V[m8] = Vh[m8]
+
+    return inter, finalize

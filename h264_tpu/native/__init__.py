@@ -406,6 +406,186 @@ def cabac_parse_slice(st, rbsp: bytes, sh, sps, pps, slice_id: int,
     return int(n)
 
 
+_MAXREF = 32
+
+
+def recon_picture(st, sps, pps, planes, slice_info, slice_refs, slice_wp):
+    """Native full-picture reconstruction (MV derivation + MC + intra +
+    residuals); the runtime dual of decoder/recon.py + decoder/mv.py.
+
+    Returns True when the picture was reconstructed (planes filled, st.mv
+    / st.ref_idx / st.ref_pic_id finalized); False -> caller uses the
+    Python oracle (unsupported features or native lib unavailable)."""
+    lib = _load("recon")
+    if lib is None:
+        return False
+    import numpy as np
+
+    if sps.chroma_format_idc != 1 or sps.bit_depth_luma != 8:
+        return False
+    if st.ipcm_samples:
+        return False
+    if (np.asarray(st.slice_id) < 0).any():
+        return False  # missing MBs: ERC path stays on the oracle
+    NS = len(slice_info)
+    if NS == 0:
+        return False
+    from ..syntax.slice_header import SliceType
+
+    tcode = {SliceType.P: 0, SliceType.B: 1, SliceType.I: 2,
+             SliceType.SP: None, SliceType.SI: None}
+    from ..syntax.parsets import effective_scaling
+
+    ws = effective_scaling(sps, pps)
+    if ws is None:
+        ws4 = np.zeros((6, 16), np.int32)
+        ws8 = np.zeros((2, 64), np.int32)
+        has_ws = 0
+    else:
+        ws4 = np.ascontiguousarray(
+            np.asarray(ws[0], np.int32).reshape(6, 16))
+        ws8 = np.ascontiguousarray(
+            np.asarray(ws[1], np.int32).reshape(2, 64))
+        has_ws = 1
+
+    W4, H4 = 4 * st.W, 4 * st.H
+    s_type = np.zeros(NS, np.int32)
+    s_spatial = np.zeros(NS, np.int32)
+    s_d8x8 = np.zeros(NS, np.int32)
+    s_nref = np.zeros((NS, 2), np.int32)
+    s_refids = np.zeros((NS, 2, _MAXREF), np.int64)
+    s_reflt = np.zeros((NS, 2, _MAXREF), np.uint8)
+    s_curpoc = np.zeros(NS, np.int32)
+    s_colpoc = np.zeros(NS, np.int32)
+    s_has_col = np.zeros(NS, np.int32)
+    col_moving = np.zeros((NS, H4, W4), np.uint8)
+    col_ref0 = np.full((NS, H4, W4), -1, np.int8)
+    col_ref1 = np.full((NS, H4, W4), -1, np.int8)
+    col_id0 = np.zeros((NS, H4, W4), np.int64)
+    col_id1 = np.zeros((NS, H4, W4), np.int64)
+    col_mv0 = np.zeros((NS, H4, W4, 2), np.int32)
+    col_mv1 = np.zeros((NS, H4, W4, 2), np.int32)
+    wp_mode = np.zeros(NS, np.int32)
+    wp_ly = np.full(NS, 5, np.int32)
+    wp_lc = np.full(NS, 5, np.int32)
+    wy = np.ones((NS, 2, _MAXREF), np.int32) * 32
+    oyt = np.zeros((NS, 2, _MAXREF), np.int32)
+    wct = np.ones((NS, 2, _MAXREF, 2), np.int32) * 32
+    oct_ = np.zeros((NS, 2, _MAXREF, 2), np.int32)
+    wimp = np.full((NS, _MAXREF, _MAXREF, 2), 32, np.int32)
+    PTR = ctypes.POINTER(ctypes.c_int32)
+    refY = (PTR * (NS * 2 * _MAXREF))()
+    refU = (PTR * (NS * 2 * _MAXREF))()
+    refV = (PTR * (NS * 2 * _MAXREF))()
+    keep = []  # keep padded planes alive
+
+    for sid, info in enumerate(slice_info):
+        tc = tcode.get(info["type"])
+        if tc is None:
+            return False
+        s_type[sid] = tc
+        s_spatial[sid] = int(bool(info.get("spatial_direct", True)))
+        s_d8x8[sid] = int(bool(info.get("direct_8x8_inference", True)))
+        s_curpoc[sid] = int(info.get("cur_poc", 0))
+        for lst in (0, 1):
+            ids = info["ref_ids"][lst]
+            if len(ids) > _MAXREF:
+                return False
+            s_nref[sid, lst] = len(ids)
+            for ri, v in enumerate(ids):
+                s_refids[sid, lst, ri] = int(v)
+            lts = info.get("ref_lt", [[], []])[lst]
+            for ri, v in enumerate(lts[:_MAXREF]):
+                s_reflt[sid, lst, ri] = int(bool(v))
+            for ri, (Yp, Up, Vp) in enumerate(slice_refs[sid][lst]):
+                for arr, tab in ((Yp, refY), (Up, refU), (Vp, refV)):
+                    a = np.ascontiguousarray(arr, np.int32)
+                    keep.append(a)
+                    tab[(sid * 2 + lst) * _MAXREF + ri] = a.ctypes.data_as(
+                        PTR)
+        col = info.get("col")
+        if col is not None:
+            s_has_col[sid] = 1
+            s_colpoc[sid] = int(col.get("poc", 0))
+            if col.get("moving") is not None:
+                col_moving[sid] = np.asarray(col["moving"], np.uint8)
+            if "ref_idx0" in col:
+                col_ref0[sid] = np.asarray(col["ref_idx0"], np.int8)
+                col_ref1[sid] = np.asarray(col["ref_idx1"], np.int8)
+                col_id0[sid] = np.asarray(col["ref_id0"], np.int64)
+                col_id1[sid] = np.asarray(col["ref_id1"], np.int64)
+                col_mv0[sid] = np.asarray(col["mv0"], np.int32)
+                col_mv1[sid] = np.asarray(col["mv1"], np.int32)
+        wp = slice_wp[sid]
+        if wp is not None:
+            wp_mode[sid] = wp["mode"]
+            wp_ly[sid] = wp["ly"]
+            wp_lc[sid] = wp["lc"]
+            if wp["mode"] == 1:
+                for lst in (0, 1):
+                    for ri, pw in enumerate(wp["w"][lst][:_MAXREF]):
+                        wy[sid, lst, ri] = pw.luma_weight
+                        oyt[sid, lst, ri] = pw.luma_offset
+                        wct[sid, lst, ri] = pw.chroma_weight
+                        oct_[sid, lst, ri] = pw.chroma_offset
+            else:
+                for (i, j), (w0, w1) in wp["tab"].items():
+                    if i < _MAXREF and j < _MAXREF:
+                        wimp[sid, i, j] = (w0, w1)
+
+    if not getattr(lib, "_recon_sigs", False):
+        lib.recon_picture.restype = ctypes.c_long
+        lib._recon_sigs = True
+
+    def a(x, dtype):
+        arr = np.ascontiguousarray(x, dtype)
+        keep.append(arr)
+        return arr
+
+    def p(x):
+        return x.ctypes.data_as(ctypes.c_void_p)
+
+    from ..ops.interp import PAD
+
+    mv = a(st.mv, np.int32)
+    ref_idx = a(st.ref_idx, np.int8)
+    rpid = a(st.ref_pic_id, np.int64)
+    Yp = a(planes.Y, np.int32)
+    Up = a(planes.U, np.int32)
+    Vp = a(planes.V, np.int32)
+    rc = lib.recon_picture(
+        st.W, st.H, sps.width, sps.height, PAD,
+        int(bool(pps.constrained_intra_pred_flag)),
+        p(a(st.slice_id, np.int32)), p(a(st.mb_type, np.int32)),
+        p(a(st.is_intra, np.uint8)), p(a(st.skip_flag, np.uint8)),
+        p(a(st.transform8x8, np.uint8)), p(a(st.qp, np.int32)),
+        p(a(st.qpc, np.int32)), p(a(st.i16mode, np.int32)),
+        p(a(st.c_ipred_mode, np.int32)), p(a(st.b8mode, np.int32)),
+        p(a(st.b8pdir, np.int32)), p(a(st.ipredmode, np.int8)),
+        p(a(st.mvd, np.int32)),
+        p(ref_idx), p(mv), p(rpid),
+        p(a(st.luma_levels, np.int32)), p(a(st.luma8_levels, np.int32)),
+        p(a(st.luma_dc, np.int32)), p(a(st.chroma_dc, np.int32)),
+        p(a(st.chroma_levels, np.int32)),
+        p(Yp), p(Up), p(Vp),
+        NS, p(s_type), p(s_spatial), p(s_d8x8), p(s_nref),
+        p(s_refids), p(s_reflt), p(s_curpoc), p(s_colpoc),
+        p(s_has_col), p(col_moving), p(col_ref0), p(col_ref1),
+        p(col_id0), p(col_id1), p(col_mv0), p(col_mv1),
+        p(wp_mode), p(wp_ly), p(wp_lc), p(wy), p(oyt), p(wct), p(oct_),
+        p(wimp), refY, refU, refV, p(ws4), p(ws8), has_ws,
+    )
+    if rc != 0:
+        return False
+    # write back the arrays that used staging copies
+    for src, dst in ((mv, st.mv), (ref_idx, st.ref_idx),
+                     (rpid, st.ref_pic_id), (Yp, planes.Y),
+                     (Up, planes.U), (Vp, planes.V)):
+        if src is not dst:
+            np.copyto(dst, src)
+    return True
+
+
 def cabac_encode_run(kinds: bytes, ctx_idx, bins: bytes, states: bytearray,
                      mps: bytearray):
     """Run the serial CABAC automaton over a recorded bin stream.
