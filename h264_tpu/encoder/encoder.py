@@ -274,11 +274,17 @@ class H264Encoder:
             for row, p in zip(rows, group):
                 yield self._finish_p_fast(p, fetched=row)
 
+        if self.rc is not None and self.cfg.rd:
+            # rate control runs on the device pipeline but needs per-frame
+            # bit feedback before picking the next QP: depth 1 (the device
+            # reference chain is unaffected; only the host tail serializes)
+            depth = 1
         for idx, yuv in enumerate(frames):
             is_idr = idx == 0 or (
                 self.cfg.idr_period and idx % self.cfg.idr_period == 0
             )
-            if (is_idr or not self.cfg.fast or self.rc is not None
+            if (is_idr or not self.cfg.fast
+                    or (self.rc is not None and not self.cfg.rd)
                     or self._multi_slice):
                 yield from drain(pend)
                 pend = []
@@ -296,8 +302,7 @@ class H264Encoder:
         SetImgType + image.c B-frame loop).  Pattern I (B^n P)*: each
         anchor P is encoded before the B pictures it back-references;
         POC carries the display order (2 * display index)."""
-        if (self.cfg.fast and self.cfg.rd and self.rc is None
-                and not self._multi_slice):
+        if (self.cfg.fast and self.cfg.rd and not self._multi_slice):
             yield from self._encode_stream_b_rd(frames)
             return
         nb = self.cfg.b_frames
@@ -334,7 +339,7 @@ class H264Encoder:
     def encode_frame(self, yuv, is_idr: bool) -> list[NalUnit]:
         cfg = self.cfg
         if (not is_idr and cfg.fast and cfg.b_frames == 0
-                and self.rc is None and not self._multi_slice):
+                and (self.rc is None or cfg.rd) and not self._multi_slice):
             return self._finish_p_fast(self._start_p_fast(yuv))
         stype = SliceType.I if is_idr else SliceType.P
         poc = 0 if is_idr else self._prev_poc + 2
@@ -551,7 +556,14 @@ class H264Encoder:
 
         cfg, sps, pps = self.cfg, self.sps, self.pps
         H, W = sps.height, sps.width
-        qp = cfg.qp
+        if self.rc is not None:
+            qp = self.rc.pick_qp("P")
+            lam_f = ((0.68 if cfg.b_frames > 0 else 0.85) * 0.95
+                     * 2.0 ** ((qp - 12) / 3.0))
+            lam_fx = int(lam_f * 65536 + 0.5)
+        else:
+            qp = cfg.qp
+            lam_fx = self.lambda_mode_fx
         cb_off, _ = pps.chroma_qp_offset
         qp_c = chroma_qp(qp, cb_off)
         cur = tuple(
@@ -580,16 +592,26 @@ class H264Encoder:
             wp_w = jnp.asarray(np.asarray(wpad, np.int32))
             wp_o = jnp.zeros((nr_max,), jnp.int32)
         if cfg.row_slices > 1:
+            if self.rc is not None:
+                # per-row basic-unit QPs (rc_handle_mb restructured:
+                # targets allocated up front from per-row activity)
+                qp = self._rc_row_qps(qp, np.asarray(yuv[0], np.int16))
+                qp_c = np.asarray(
+                    [chroma_qp(int(q), cb_off) for q in qp], np.int32)
+                base = (0.68 if cfg.b_frames > 0 else 0.85) * 0.95
+                lam_fx = np.asarray(
+                    [int(base * 2.0 ** ((int(q) - 12) / 3.0) * 65536 + 0.5)
+                     for q in qp], np.int32)
             host_out, recon, new_entry = RD.rd_p_rows_pipeline(
                 *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 24),
-                qp=qp, qp_c=qp_c, lam=self.lambda_mode_fx,
-                lam_me=self.lambda_mode_fx, G=cfg.row_slices, nref=nref,
+                qp=qp, qp_c=qp_c, lam=lam_fx,
+                lam_me=lam_fx, G=cfg.row_slices, nref=nref,
             )
         else:
             host_out, recon, new_entry = RD.rd_p_pipeline(
                 *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 24),
-                qp=qp, qp_c=qp_c, lam=self.lambda_mode_fx,
-                lam_me=self.lambda_mode_fx, nref=nref,
+                qp=qp, qp_c=qp_c, lam=lam_fx,
+                lam_me=lam_fx, nref=nref,
                 wp_w=wp_w if wp_weights else None,
                 wp_o=wp_o if wp_weights else None,
                 use_wp=bool(wp_weights),
@@ -604,22 +626,78 @@ class H264Encoder:
             : sps.num_ref_frames
         ]
         self._src_dc[poc] = float(np.asarray(yuv[0], np.float64).mean())
+        cur_y_np = np.asarray(yuv[0], np.int16)
+        mad = (float(np.abs(cur_y_np - self._prev_src).mean())
+               if getattr(self, "_prev_src", None) is not None else 1.0)
+        self._prev_src = cur_y_np
         return ("rd", host_out, recon, frame_num, poc, ref_pocs, qp,
-                wp_weights)
+                wp_weights, mad)
+
+    def _rc_row_qps(self, frame_qp: int, cur_y) -> np.ndarray:
+        """Per-tile-row basic-unit QPs: the frame target is split over
+        rows in proportion to predicted activity (previous-source MAD,
+        the colocated-BU MAD prediction of rc_quadratic.c:1106), each
+        row's Qstep solved from the shared quadratic model, clipped
+        +-2 around the frame QP (the JM BU smoothness clip)."""
+        from ..control.ratectl import qp_to_qstep, qstep_to_qp
+
+        G = self.cfg.row_slices
+        Hg = cur_y.shape[0] // G
+        prev = getattr(self, "_prev_src", None)
+        if prev is None:
+            return np.full(G, frame_qp, np.int32)
+        mads = np.maximum(
+            np.abs(cur_y.astype(np.int32) - prev).reshape(
+                G, Hg, -1).mean((1, 2)),
+            1e-3,
+        )
+        T = max(self.rc._last_target, 1.0)
+        t_rows = T * mads / mads.sum()
+        qps = np.empty(G, np.int32)
+        for g in range(G):
+            x1, x2 = self.rc.x1, self.rc.x2
+            m, t = float(mads[g]), float(t_rows[g]) * G / 1.0
+            # scale row target to frame-equivalent units for the model
+            t = max(t, 1.0)
+            if x2 == 0.0:
+                qstep = x1 * m / t
+            else:
+                a, b, c = t, -x1 * m, -x2 * m
+                disc = b * b - 4 * a * c
+                qstep = ((-b + np.sqrt(disc)) / (2 * a)
+                         if disc >= 0 else x1 * m / t)
+                if qstep <= 0:
+                    qstep = x1 * m / t
+            qps[g] = qstep_to_qp(float(max(qstep, qp_to_qstep(0))))
+        return np.clip(qps, frame_qp - 2, frame_qp + 2).astype(np.int32)
 
     def _finish_p_rd(self, pending, fetched=None) -> list[NalUnit]:
         (_, host_out, recon, frame_num, poc, ref_pocs, qp,
-         wp_weights) = pending
+         wp_weights, src_mad) = pending
         cfg, sps, pps = self.cfg, self.sps, self.pps
         W, H = sps.pic_width_in_mbs, sps.frame_height_in_mbs
         n_mb = W * H
         st = PictureParseState(W, H)
         planes = Planes(sps)
         st.slice_id[:] = 0
-        st.qp[:] = qp
+        qp_rows = np.broadcast_to(
+            np.asarray(qp, np.int32).reshape(-1),
+            (cfg.row_slices if np.ndim(qp) else 1,))
+        qp0 = int(qp_rows[0])
         cb_off, cr_off = pps.chroma_qp_offset
-        st.qpc[:, 0] = chroma_qp(qp, cb_off)
-        st.qpc[:, 1] = chroma_qp(qp, cr_off)
+        if np.ndim(qp):
+            G0 = qp_rows.shape[0]
+            n_g0 = n_mb // G0
+            for g in range(G0):
+                st.qp[g * n_g0 : (g + 1) * n_g0] = qp_rows[g]
+                st.qpc[g * n_g0 : (g + 1) * n_g0, 0] = chroma_qp(
+                    int(qp_rows[g]), cb_off)
+                st.qpc[g * n_g0 : (g + 1) * n_g0, 1] = chroma_qp(
+                    int(qp_rows[g]), cr_off)
+        else:
+            st.qp[:] = qp0
+            st.qpc[:, 0] = chroma_qp(qp0, cb_off)
+            st.qpc[:, 1] = chroma_qp(qp0, cr_off)
         if fetched is None:
             fetched = np.asarray(host_out)
         if fetched.ndim == 2:  # row-sliced: (G, per-group buffer)
@@ -676,7 +754,8 @@ class H264Encoder:
                 != pps.num_ref_idx_l0_default_active_minus1,
                 num_ref_idx_l0_active_minus1=nr - 1,
                 disable_deblocking_filter_idc=2 if G > 1 else 0,
-                slice_qp_delta=qp - (26 + pps.pic_init_qp_minus26),
+                slice_qp_delta=int(qp_rows[min(g, len(qp_rows) - 1)])
+                - (26 + pps.pic_init_qp_minus26),
             )
             if wp_weights is not None:
                 from ..syntax.slice_header import PredWeight
@@ -697,6 +776,9 @@ class H264Encoder:
                 writer.write_slice_data(w, addrs)
                 w.rbsp_trailing_bits()
             nals.append(NalUnit(1, 3, w.get_bytes()))
+        if self.rc is not None:
+            bits = 8 * sum(len(nl.rbsp) + 5 for nl in nals)
+            self.rc.post_frame("P", bits, src_mad)
         self.all_recons.append((poc, planes))
         self.recon_pics = (self.recon_pics + [(poc, planes, st, None)])[
             -self.cfg.num_ref_frames:
@@ -786,6 +868,8 @@ class H264Encoder:
         nb = self.cfg.b_frames
         idr_p = self.cfg.idr_period
         depth = max(2, self.cfg.pipeline_depth)
+        if self.rc is not None:
+            depth = 2  # drain per anchor group: fresh rate feedback
         pend_src: list = []  # buffered display frames awaiting their anchor
         pend_dev: list = []  # dispatched pictures, decode order
         base = 0
@@ -841,7 +925,8 @@ class H264Encoder:
 
         cfg, sps, pps = self.cfg, self.sps, self.pps
         H, W = sps.height, sps.width
-        qp = cfg.qp + cfg.qp_b_offset
+        qp = (self.rc.pick_qp("B") if self.rc is not None
+              else cfg.qp + cfg.qp_b_offset)
         cb_off, _ = pps.chroma_qp_offset
         qp_c = chroma_qp(qp, cb_off)
         cur = tuple(
@@ -957,8 +1042,11 @@ class H264Encoder:
             writer = CavlcSliceWriter(st, sps, pps, sh)
             writer.write_slice_data(w, list(range(st.n_mbs)))
             w.rbsp_trailing_bits()
+        nal = NalUnit(1, 0, w.get_bytes())
+        if self.rc is not None:
+            self.rc.post_frame("B", 8 * (len(nal.rbsp) + 5), 1.0)
         self.all_recons.append((poc, planes))
-        return [NalUnit(1, 0, w.get_bytes())]
+        return [nal]
 
     def _fill_b_state_rd(self, st, win, idx0, m0x, m0y, m1x, m1y, i16mode,
                          cip, lev, dc, levc, dcc, poc, pocs0, poc1,

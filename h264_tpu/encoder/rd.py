@@ -1776,22 +1776,30 @@ def _row_slabs(banks, cpads, H: int, G: int):
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "R", "G"))
 def rd_p_rows_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
-                       H: int, W: int, R: int, qp: int, qp_c: int,
-                       lam: int, lam_me: int, G: int, nref=None):
+                       H: int, W: int, R: int, qp, qp_c,
+                       lam, lam_me, G: int, nref=None):
     """G row-group slices of one P frame, each through the full RD
     pipeline on its reference slab; recon and the next reference entry are
-    reassembled full-frame.  Output host buffers are per group."""
+    reassembled full-frame.  Output host buffers are per group.
+
+    qp/qp_c/lam/lam_me may be scalars or (G,) vectors — a per-group QP
+    is the tile-row basic unit of rate control (rc_quadratic.c:2399
+    rc_handle_mb restructured for batch execution)."""
     Hg = H // G
     subY = cur_y8.reshape(G, Hg, W)
     subU = cur_u8.reshape(G, Hg // 2, W // 2)
     subV = cur_v8.reshape(G, Hg // 2, W // 2)
     slabs, cslabs = _row_slabs(banks, cpads, H, G)
+    qp_v = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (G,))
+    qpc_v = jnp.broadcast_to(jnp.asarray(qp_c, jnp.int32), (G,))
+    lam_v = jnp.broadcast_to(jnp.asarray(lam, jnp.int32), (G,))
+    lme_v = jnp.broadcast_to(jnp.asarray(lam_me, jnp.int32), (G,))
 
     outs = jax.vmap(
-        lambda cy, cu, cv, bk, cp: rd_p_pipeline(
-            cy, cu, cv, bk, cp, H=Hg, W=W, R=R, qp=qp, qp_c=qp_c,
-            lam=lam, lam_me=lam_me, nref=nref)
-    )(subY, subU, subV, slabs, cslabs)
+        lambda cy, cu, cv, bk, cp, q, qc, lm, lme: rd_p_pipeline(
+            cy, cu, cv, bk, cp, H=Hg, W=W, R=R, qp=q, qp_c=qc,
+            lam=lm, lam_me=lme, nref=nref)
+    )(subY, subU, subV, slabs, cslabs, qp_v, qpc_v, lam_v, lme_v)
     host_outs, recons, entries = outs
     Yf = recons[0].reshape(H, W)
     Uf = recons[1].reshape(H // 2, W // 2)
