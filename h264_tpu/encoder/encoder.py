@@ -68,6 +68,8 @@ class EncoderConfig:
     pipeline_depth: int = 8  # frames in flight in encode_stream
     b_frames: int = 0  # B pictures between anchors (0 = IPPP)
     qp_b_offset: int = 2  # QP delta for (non-reference) B pictures
+    b_hierarchy: bool = False  # 2-layer B pyramid (b_frames == 3): the
+    # middle B is a stored reference (explicit_gop.c:32 create_hierarchy)
     rc_bitrate: float = 0.0  # target bits/s; 0 disables rate control
     rc_fps: float = 30.0  # frame rate assumed by rate control
     # multi-slice / FMO (lencod SliceMode/SliceArgument + slice groups)
@@ -105,9 +107,11 @@ class H264Encoder:
             profile_idc=77 if (cfg.entropy == "cabac" or use_b) else 66,
             level_idc=30,
             # with B pictures the DPB must retain the list0 anchors PLUS
-            # the future anchor, so temporal-direct colocated references
-            # stay mappable into the B slice's list0
-            num_ref_frames=cfg.num_ref_frames + 1 if use_b
+            # the future anchor (and the stored mid-B of a hierarchy), so
+            # temporal-direct colocated references stay mappable into the
+            # B slice's list0
+            num_ref_frames=cfg.num_ref_frames + (2 if cfg.b_hierarchy
+                                                 else 1) if use_b
             else cfg.num_ref_frames,
             pic_width_in_mbs_minus1=cfg.width // 16 - 1,
             pic_height_in_map_units_minus1=cfg.height // 16 - 1,
@@ -117,6 +121,9 @@ class H264Encoder:
             log2_max_frame_num_minus4=4,
         )
         self.pps = PPS(entropy_coding_mode_flag=(cfg.entropy == "cabac"))
+        if cfg.b_hierarchy:
+            assert cfg.b_frames == 3, "2-layer pyramid needs b_frames == 3"
+            assert cfg.fast and cfg.rd, "hierarchy runs on the RD pipeline"
         self._src_dc: dict = {}  # poc -> source-luma mean (WP estimation)
         if cfg.weighted_pred:
             # P prediction weighting runs only in the device RD pipeline
@@ -781,7 +788,7 @@ class H264Encoder:
             self.rc.post_frame("P", bits, src_mad)
         self.all_recons.append((poc, planes))
         self.recon_pics = (self.recon_pics + [(poc, planes, st, None)])[
-            -self.cfg.num_ref_frames:
+            -self.sps.num_ref_frames:
         ]
         return nals
 
@@ -892,6 +899,7 @@ class H264Encoder:
                         yield self._finish_b_rd(p, fetched=row)
             pend_dev.clear()
 
+        hier = self.cfg.b_hierarchy
         for idx, yuv in enumerate(frames):
             is_idr = idx == 0 or (idr_p and idx % idr_p == 0)
             if is_idr:
@@ -904,6 +912,21 @@ class H264Encoder:
                 yield self._encode_picture(yuv, SliceType.I, True, 0)
             elif len(pend_src) < nb:
                 pend_src.append((yuv, idx))
+            elif hier:
+                # 2-layer pyramid segment A0 b1 B2 b3 A1: decode order
+                # anchor, stored mid-B, then the outer non-ref Bs
+                # (lencod/src/explicit_gop.c:32 create_hierarchy)
+                (y1, i1), (y2, i2), (y3, i3) = pend_src
+                pend_dev.append(
+                    ("p", self._start_p_rd(yuv, poc=2 * (idx - base))))
+                pend_dev.append(
+                    ("b", self._start_b_rd(y2, 2 * (i2 - base),
+                                           is_ref=True)))
+                pend_dev.append(("b", self._start_b_rd(y1, 2 * (i1 - base))))
+                pend_dev.append(("b", self._start_b_rd(y3, 2 * (i3 - base))))
+                pend_src = []
+                if len(pend_dev) >= depth:
+                    yield from drain()
             else:
                 pend_dev.append(
                     ("p", self._start_p_rd(yuv, poc=2 * (idx - base))))
@@ -918,33 +941,58 @@ class H264Encoder:
                 ("p", self._start_p_rd(b_yuv, poc=2 * (b_idx - base))))
         yield from drain()
 
-    def _start_b_rd(self, yuv, poc: int):
+    def _start_b_rd(self, yuv, poc: int, is_ref: bool = False):
         import jax.numpy as jnp
 
         from ..decoder.mv import dist_scale_factor
 
         cfg, sps, pps = self.cfg, self.sps, self.pps
         H, W = sps.height, sps.width
-        qp = (self.rc.pick_qp("B") if self.rc is not None
-              else cfg.qp + cfg.qp_b_offset)
+        if self.rc is not None:
+            qp = self.rc.pick_qp("B")
+        elif is_ref:
+            # stored mid-B of the pyramid: smaller offset than leaf Bs
+            qp = cfg.qp + max(1, cfg.qp_b_offset - 1)
+        else:
+            qp = cfg.qp + cfg.qp_b_offset
         cb_off, _ = pps.chroma_qp_offset
         qp_c = chroma_qp(qp, cb_off)
         cur = tuple(
             jnp.asarray(np.ascontiguousarray(p, np.uint8)) for p in yuv
         )
-        past = [e for e in self._rd_refs if e[0] < poc]
-        fut = [e for e in self._rd_refs if e[0] > poc]
+        past = sorted((e for e in self._rd_refs if e[0] < poc),
+                      key=lambda e: -e[0])
+        fut = sorted((e for e in self._rd_refs if e[0] > poc),
+                     key=lambda e: e[0])
         assert past and fut, "B picture needs anchors on both sides"
-        past = past[: max(1, cfg.num_ref_frames)]
-        fut_e = min(fut, key=lambda e: e[0])
-        nr_max = max(1, cfg.num_ref_frames)
-        pad_n = nr_max - len(past)
-        banks0 = jnp.stack([e[1] for e in past + [past[-1]] * pad_n])
-        cpads0 = jnp.stack([e[2] for e in past + [past[-1]] * pad_n])
+        fut_e = fut[0]
+        if cfg.b_hierarchy and is_ref:
+            # stored mid-B: the num_ref_frames most recent past refs (a
+            # prefix of the decoder default list0) — exactly the pictures
+            # still inside the sliding window when the leaf Bs decode,
+            # so this picture's colocated motion stays mappable for
+            # their temporal direct derivation
+            lst0 = past[: max(1, cfg.num_ref_frames)]
+            nr_max = self.sps.num_ref_frames
+        elif cfg.b_hierarchy:
+            # the DEFAULT B list0 the decoder will build: every DPB
+            # short-term ref, past (POC desc) then future (POC asc);
+            # only the tail may be cut, so the signalled prefix matches
+            # the decoder's list exactly and every colocated reference
+            # stays mappable for temporal direct
+            lst0 = past + fut
+            nr_max = self.sps.num_ref_frames
+        else:
+            lst0 = past[: max(1, cfg.num_ref_frames)]
+            nr_max = max(1, cfg.num_ref_frames)
+        lst0 = lst0[:nr_max]
+        pad_n = nr_max - len(lst0)
+        banks0 = jnp.stack([e[1] for e in lst0 + [lst0[-1]] * pad_n])
+        cpads0 = jnp.stack([e[2] for e in lst0 + [lst0[-1]] * pad_n])
         banks1 = jnp.stack([fut_e[1]])
         cpads1 = jnp.stack([fut_e[2]])
         col_intra4, col_ref4, col_mvx4, col_mvy4 = fut_e[3]
-        pocs0 = [e[0] for e in past]
+        pocs0 = [e[0] for e in lst0]
         poc1 = fut_e[0]
         # the colocated picture's ref indices map into ITS list0 (the
         # anchor pocs at its encode time) — translate into OUR list0
@@ -958,19 +1006,22 @@ class H264Encoder:
         if trans:
             col_ref4 = jnp.asarray(np.asarray(trans, np.int32))[
                 jnp.clip(col_ref4, 0, len(trans) - 1)]
-        dsf = [dist_scale_factor(poc, p0, poc1) for p0 in pocs0]
+        dsf = [dist_scale_factor(poc, p0, poc1) if p0 != poc1 else 0
+               for p0 in pocs0]
         eq = [p0 == poc1 for p0 in pocs0]
         # pad the per-ref tables alongside the padded bank stack
         pocs0_p = pocs0 + [pocs0[-1]] * pad_n
         dsf_p = dsf + [dsf[-1]] * pad_n
         eq_p = eq + [eq[-1]] * pad_n
         # JM B-slice lambda: 0.68 base x clip3(2, 4, qp_temp/6) x 0.95
-        # (slice.c:1261; B pictures tolerate more distortion per bit)
+        # (slice.c:1261); stored Bs halve the factor (BRefPictures rule)
         qp_t = qp - 12
         lam_f = (0.68 * 0.95 * 2.0 ** (qp_t / 3.0)
                  * min(4.0, max(2.0, qp_t / 6.0)))
+        if is_ref:
+            lam_f *= 0.5
         lam = int(lam_f * 65536 + 0.5)
-        host_out, recon = RD.rd_b_pipeline(
+        out = RD.rd_b_pipeline(
             *cur, banks0, cpads0, banks1, cpads1,
             col_intra4, col_ref4, col_mvx4, col_mvy4,
             jnp.asarray(np.asarray(pocs0_p, np.int32)),
@@ -978,14 +1029,29 @@ class H264Encoder:
             jnp.asarray(np.asarray(eq_p, bool)),
             jnp.int32(poc1),
             H=H, W=W, R=min(cfg.search_range, 24), qp=qp, qp_c=qp_c,
-            lam=lam, lam_me=lam, nref0=jnp.int32(len(past)),
+            lam=lam, lam_me=lam, nref0=jnp.int32(len(lst0)),
+            make_ref=is_ref,
         )
-        # decode-order frame_num captured at dispatch (non-ref B =
-        # frame_num of its anchor + 1, which _start_p_rd just set)
-        return ("b", host_out, recon, poc, pocs0, poc1, qp, self.frame_num)
+        if is_ref:
+            host_out, recon, entry = out
+            frame_num = self.frame_num
+            self.frame_num += 1
+            self._rd_refs = ([(poc,) + tuple(entry)] + self._rd_refs)[
+                : sps.num_ref_frames
+            ]
+            # colocated snapshot index space: its list0 pocs + [poc1]
+            # (index n0 is the sentinel for L1-only blocks)
+            self._anchor_ref_pocs[poc] = pocs0 + [poc1]
+        else:
+            # non-ref B = frame_num of the preceding reference + 1
+            frame_num = self.frame_num
+        return ("b", host_out if is_ref else out[0],
+                recon if is_ref else out[1], poc, pocs0, poc1, qp,
+                frame_num, is_ref)
 
     def _finish_b_rd(self, pending, fetched=None) -> list[NalUnit]:
-        _, host_out, recon, poc, pocs0, poc1, qp, frame_num = pending
+        (_, host_out, recon, poc, pocs0, poc1, qp, frame_num,
+         is_ref) = pending
         cfg, sps, pps = self.cfg, self.sps, self.pps
         W, H = sps.pic_width_in_mbs, sps.frame_height_in_mbs
         n_mb = W * H
@@ -1024,7 +1090,7 @@ class H264Encoder:
             slice_type_code=SliceType.B.value,
             frame_num=frame_num % sps.max_frame_num,
             is_idr=False,
-            nal_ref_idc=0,
+            nal_ref_idc=3 if is_ref else 0,
             pic_order_cnt_lsb=(
                 poc % (1 << (sps.log2_max_pic_order_cnt_lsb_minus4 + 4))
             ),
@@ -1042,7 +1108,13 @@ class H264Encoder:
             writer = CavlcSliceWriter(st, sps, pps, sh)
             writer.write_slice_data(w, list(range(st.n_mbs)))
             w.rbsp_trailing_bits()
-        nal = NalUnit(1, 0, w.get_bytes())
+        if is_ref:
+            # stored B: later Bs use it as colocated (temporal direct
+            # host fill reads its final state from recon_pics)
+            self.recon_pics = (self.recon_pics + [(poc, planes, st, None)])[
+                -self.sps.num_ref_frames:
+            ]
+        nal = NalUnit(1, 3 if is_ref else 0, w.get_bytes())
         if self.rc is not None:
             self.rc.post_frame("B", 8 * (len(nal.rbsp) + 5), 1.0)
         self.all_recons.append((poc, planes))

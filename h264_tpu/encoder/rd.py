@@ -1395,12 +1395,13 @@ def strengths_full_b(nz4, intra4, v0, r0, m0x, m0y, v1, r1, m1x, m1y):
     return BSV, BSH
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "R"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "R", "make_ref"))
 def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
                   col_intra4, col_ref4, col_mvx4, col_mvy4,
                   pocs0, dsf_tab, eq_tab, poc1,
                   H: int, W: int, R: int, qp: int, qp_c: int,
-                  lam: int, lam_me: int, nref0=None):
+                  lam: int, lam_me: int, nref0=None,
+                  make_ref: bool = False):
     """Whole-frame RD B encode (non-reference, temporal direct).
 
     banks0/cpads0: stacked list-0 (past anchor) refs; banks1/cpads1: the
@@ -1744,7 +1745,23 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         levc.reshape(-1), dcc.reshape(-1),
         ipm.reshape(-1),
     ])
-    return host_out, (dy_, du_, dv_)
+    if not make_ref:
+        return host_out, (dy_, du_, dv_)
+    # reference entry for hierarchical GOPs (B used as reference,
+    # lencod/src/explicit_gop.c:32 create_hierarchy): plane bank + a
+    # colocated-motion snapshot in decoder L0-else-L1 fallback form.
+    # col_ref encodes the L0 index, or NR0 (sentinel) for L1-only blocks
+    # (the host maps it to the list-1 anchor's POC).
+    Ypad2 = jnp.pad(dy_, PAD, mode="edge")
+    new_bank = _bank_from_pad(Ypad2)
+    new_cpad = jnp.stack([
+        jnp.pad(du_, PAD, mode="edge"), jnp.pad(dv_, PAD, mode="edge")])
+    c_intra = intra4 | (~(v0_4 | v1_4))
+    c_ref = jnp.where(v0_4, to4(w_idx0), jnp.int32(NR0))
+    c_mvx = jnp.where(v0_4, to4(w_m0x), to4(w_m1x))
+    c_mvy = jnp.where(v0_4, to4(w_m0y), to4(w_m1y))
+    col_out = (c_intra, c_ref, c_mvx, c_mvy)
+    return host_out, (dy_, du_, dv_), (new_bank, new_cpad, col_out)
 
 
 # ---------------------------------------------------------------------------

@@ -230,3 +230,32 @@ def test_rd_i4_intra_in_p():
     assert int((pst.mb_type == 9).sum()) > 0, "no I4 MBs chosen"
     if have_ldecod():
         assert jm_decode(stream) == ours
+
+
+def test_rd_b_hierarchy_roundtrip():
+    """2-layer B pyramid (stored mid-B, lencod/src/explicit_gop.c:32
+    create_hierarchy analog): decode order A B_ref b b, bit-exact through
+    our decoder and ldecod."""
+    frames = _foreman(13)  # 13 sources -> 3 full pyramid segments
+    enc = H264Encoder(EncoderConfig(
+        width=176, height=144, qp=30, fast=True, b_frames=3,
+        b_hierarchy=True, entropy="cabac", num_ref_frames=2,
+        search_range=8))
+    stream = enc.encode_sequence(frames[:13])
+    recs = {}
+    for poc, pl in enc.all_recons:
+        recs.setdefault(poc, pl)
+    assert len(recs) == 13
+    ours = b"".join(
+        np.asarray(p).astype(np.uint8).tobytes()
+        for poc in sorted(recs)
+        for p in (recs[poc].Y, recs[poc].U, recs[poc].V))
+    pics = decode_annexb(stream)
+    assert b"".join(p.to_yuv_bytes() for p in pics) == ours
+    # the mid-B really is a stored reference
+    from h264_tpu.bitstream.nal import iter_annexb_nalus
+    ref_b = sum(1 for n in iter_annexb_nalus(stream)
+                if n.nal_unit_type == 1 and n.nal_ref_idc > 0)
+    assert ref_b >= 3, "stored B pictures missing"
+    if have_ldecod():
+        assert jm_decode(stream) == ours
