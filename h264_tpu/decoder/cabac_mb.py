@@ -37,6 +37,15 @@ _MAX_C2 = T.MAX_C2.tolist()
 
 _ZZ4 = M.ZZ_SCAN_4x4.tolist()
 _ZZ8 = M.ZZ_SCAN_8x8.tolist()
+_FLD4 = M.FIELD_SCAN_4x4.tolist()
+_FLD8 = M.FIELD_SCAN_8x8.tolist()
+# field significance-map position->context (ldecod/src/cabac.c
+# pos2ctx_map8x8i; 4x4-class types share the frame table)
+_POS2CTX_MAP8x8I = [
+    0, 1, 1, 2, 2, 3, 3, 4, 5, 6, 7, 7, 7, 8, 4, 5,
+    6, 9, 10, 10, 8, 11, 12, 11, 9, 9, 10, 10, 8, 11, 12, 11,
+    9, 9, 10, 10, 8, 11, 12, 11, 9, 9, 10, 10, 8, 13, 13, 9,
+    9, 10, 10, 8, 13, 13, 9, 9, 10, 10, 14, 14, 14, 14, 14, 14]
 _BLK4 = M.BLK4_TO_XY.tolist()
 
 DC_PRED = 2  # intra 4x4 DC mode
@@ -70,6 +79,8 @@ class CabacSliceParser:
         self.slice_type = sh.slice_type
         self.qp = sh.slice_qp(pps)
         self.last_dquant = 0
+        self.fld = bool(sh.field_pic_flag)  # field picture: field scans
+        # + FLD significance contexts (ldecod/src/cabac.c:1481)
         start_bit = (sh.header_bit_len + 7) & ~7  # cabac_alignment_one_bit
         self.rbsp = rbsp
         self.dec = CabacDecoder(rbsp, start_bit)
@@ -830,9 +841,10 @@ class CabacSliceParser:
         if mbt == M.I16MB:
             levels = self._read_block(addr, M.LUMA_16DC, 0, 0, 0)
             if levels is not None:
+                scan4 = _FLD4 if self.fld else _ZZ4
                 for k, lev in enumerate(levels):
                     if lev:
-                        x, y = _ZZ4[k]
+                        x, y = scan4[k]
                         st.luma_dc[addr, y, x] = lev
                         st.cbp_blk[addr] |= 1
         # luma AC / 4x4 / 8x8
@@ -845,6 +857,7 @@ class CabacSliceParser:
                     self._read_luma8x8(addr, b8)
                 else:
                     btype = M.LUMA_16AC if mbt == M.I16MB else M.LUMA_4x4
+                    scan4 = _FLD4 if self.fld else _ZZ4
                     for b4 in range(4):
                         blk = b8 * 4 + b4
                         bx, by = _BLK4[blk]
@@ -855,7 +868,7 @@ class CabacSliceParser:
                         off = 1 if btype == M.LUMA_16AC else 0
                         for k, lev in enumerate(levels):
                             if lev:
-                                x, y = _ZZ4[k + off]
+                                x, y = scan4[k + off]
                                 st.luma_levels[addr, blk, y, x] = lev
                                 nz += 1
                         if nz:
@@ -880,7 +893,7 @@ class CabacSliceParser:
                             continue
                         for k, lev in enumerate(levels):
                             if lev:
-                                x, y = _ZZ4[k + 1]
+                                x, y = (_FLD4 if self.fld else _ZZ4)[k + 1]
                                 st.chroma_levels[addr, uv, blk, y, x] = lev
 
     def _read_luma8x8(self, addr: int, b8: int):
@@ -889,9 +902,10 @@ class CabacSliceParser:
         if levels is None:
             return
         nz = 0
+        scan8 = _FLD8 if self.fld else _ZZ8
         for k, lev in enumerate(levels):
             if lev:
-                x, y = _ZZ8[k]
+                x, y = scan8[k]
                 st.luma8_levels[addr, b8, y, x] = lev
                 nz += 1
         if nz:
@@ -914,8 +928,16 @@ class CabacSliceParser:
         coeff = [0] * maxpos
         p2c_map = _POS2CTX_MAP[btype]
         p2c_last = _POS2CTX_LAST[btype]
-        sm, mm, base_m = self.ctx.group("MAP", _TYPE2CTX_MAP[btype])
-        sl, ml, base_l = self.ctx.group("LAST", _TYPE2CTX_LAST[btype])
+        if self.fld:
+            if btype == M.LUMA_8x8:
+                p2c_map = _POS2CTX_MAP8x8I
+            sm, mm, base_m = self.ctx.group(
+                "FLD_MAP", _TYPE2CTX_MAP[btype])
+            sl, ml, base_l = self.ctx.group(
+                "FLD_LAST", _TYPE2CTX_LAST[btype])
+        else:
+            sm, mm, base_m = self.ctx.group("MAP", _TYPE2CTX_MAP[btype])
+            sl, ml, base_l = self.ctx.group("LAST", _TYPE2CTX_LAST[btype])
         gm, gl = (sm, mm), (sl, ml)
         shift = 0 if _C1ISDC[btype] else -1
         i0 = 0 if _C1ISDC[btype] else 1

@@ -41,6 +41,8 @@ class DecodedPicture:
     sei: list = None  # SEI messages seen since the previous picture
     tone_mapping: object = None  # active ToneMapping (sei.py), if any
 
+    field_parity: int = -1  # -1 frame picture; 0 top field, 1 bottom
+
     def to_yuv_bytes(self) -> bytes:
         return self.planes.to_yuv_bytes()
 
@@ -56,6 +58,29 @@ class DecodedPicture:
     @property
     def unique_id(self) -> int:
         return self.poc
+
+
+class _FieldView:
+    """Field-picture view of an SPS: same parameters, half the frame
+    height (spec §7.4.2.1 FrameHeightInMbs vs field decoding;
+    ldecod/src/image.c field path).  Every consumer downstream — parsers,
+    reconstruction, deblocking — then operates on field geometry."""
+
+    def __init__(self, sps):
+        self._sps = sps
+
+    def __getattr__(self, name):
+        return getattr(self._sps, name)
+
+    is_field_picture = True
+
+    @property
+    def frame_height_in_mbs(self):
+        return self._sps.pic_height_in_map_units_minus1 + 1
+
+    @property
+    def height(self):
+        return 16 * self.frame_height_in_mbs
 
 
 class H264Decoder:
@@ -83,6 +108,7 @@ class H264Decoder:
         self.dpb: DPB | None = None
         self.conceal_mode = conceal_mode
         self.poc_gap = 2
+        self._field_refs: list = []  # decoded reference FIELDS (PicAFF)
 
     # -- POC (spec §8.2.1, types 0 and 2) ---------------------------------
     def _compute_poc(self, sh: SliceHeader, sps: SPS) -> int:
@@ -231,12 +257,16 @@ class H264Decoder:
                 if pending is None:
                     if sh.is_idr:
                         self.dpb.idr_flush()
+                        self._field_refs.clear()
+                    sps_pic = (_FieldView(sps) if sh.field_pic_flag
+                               else sps)
                     state = PictureParseState(
-                        sps.pic_width_in_mbs, sps.frame_height_in_mbs
+                        sps_pic.pic_width_in_mbs,
+                        sps_pic.frame_height_in_mbs
                     )
                     pending = {
                         "state": state,
-                        "sps": sps,
+                        "sps": sps_pic,
                         "pps": pps,
                         "poc": poc,
                         "sh0": sh,
@@ -314,6 +344,8 @@ class H264Decoder:
             or sh.pic_parameter_set_id != sh0.pic_parameter_set_id
             or (sh.is_idr != sh0.is_idr)
             or (sh.is_idr and sh.idr_pic_id != sh0.idr_pic_id)
+            or sh.field_pic_flag != sh0.field_pic_flag
+            or sh.bottom_field_flag != sh0.bottom_field_flag
             or sh.first_mb_in_slice == 0
         )
 
@@ -396,12 +428,129 @@ class H264Decoder:
             return
         pending["slices"].append(sh)
 
+    def _field_lists(self, parity: int, cur_fn: int, max_fn: int):
+        """P-field reference list (spec §8.2.4.2.2/§8.2.4.2.5): frames by
+        FrameNumWrap descending, fields alternating parity starting with
+        the current field's parity, missing fields skipped."""
+        by_fn: dict[int, list] = {}
+        for f in self._field_refs:
+            by_fn.setdefault(f.frame_num, []).append(f)
+
+        def wrap(fn):
+            return fn - max_fn if fn > cur_fn else fn
+
+        frames = sorted(by_fn, key=lambda fn: -wrap(fn))
+        same = [f for fn in frames for f in by_fn[fn]
+                if f.field_parity == parity]
+        opp = [f for fn in frames for f in by_fn[fn]
+               if f.field_parity != parity]
+        out = []
+        i = j = 0
+        while i < len(same) or j < len(opp):
+            if i < len(same):
+                out.append(same[i])
+                i += 1
+            if j < len(opp):
+                out.append(opp[j])
+                j += 1
+        return [out, []]
+
+    def _finish_field_picture(self, pending) -> DecodedPicture:
+        """Field-picture reconstruction (PicAFF decode side; I/P fields,
+        no MBAFF).  Each field is a half-height picture over the
+        _FieldView geometry; reference lists come from the decoded-field
+        buffer (ldecod/src/mbuffer.c field list init)."""
+        state: PictureParseState = pending["state"]
+        sps = pending["sps"]
+        pps: PPS = pending["pps"]
+        sh0: SliceHeader = pending["sh0"]
+        poc = pending["poc"]
+        parity = 1 if sh0.bottom_field_flag else 0
+        if sh0.slice_type not in (SliceType.I, SliceType.P):
+            raise NotImplementedError("B field pictures")
+        planes = Planes(sps)
+        slice_info = []
+        slice_refs = []
+        slice_wp = []
+        slice_cadj = []
+        for sh in pending["slices"]:
+            lists = self._field_lists(parity, sh0.frame_num,
+                                      sps.max_frame_num)
+            lists[0] = lists[0][: sh.num_ref_idx_l0_active_minus1 + 1]
+            slice_info.append({
+                "type": sh.slice_type,
+                "cur_poc": poc,
+                "ref_ids": [[p.unique_id for p in lists[0]], []],
+                "ref_lt": [[p.long_term for p in lists[0]], []],
+                "col": None,
+                "direct_8x8_inference": sps.direct_8x8_inference_flag,
+                "spatial_direct": True,
+            })
+            slice_refs.append(
+                [[p.padded_planes() for p in lists[0]], []])
+            slice_wp.append(build_wp_params(sh, pps, lists, poc))
+            # opposite-parity chroma vertical adjustment (spec §8.4.1.4.1;
+            # ldecod/src/macroblock.c:4296: top field -2, bottom +2)
+            slice_cadj.append([
+                [(0 if p.field_parity == parity
+                  else (-2 if parity == 0 else 2)) for p in lists[0]],
+                [],
+            ])
+        native_done = False
+        if not self.use_device:
+            from ..native import recon_picture as native_recon
+
+            native_done = native_recon(
+                state, sps, pps, planes, slice_info, slice_refs, slice_wp,
+                slice_cadj=slice_cadj)
+        if not native_done:
+            if sh0.slice_type != SliceType.I:
+                derive_mvs(state, state.slice_id, slice_info)
+            recon = PictureReconstructor(
+                state, sps, pps, planes, slice_refs, slice_wp,
+                slice_cadj=slice_cadj)
+            for addr in range(state.n_mbs):
+                recon.recon_mb(addr)
+        deblock_picture(state, sps, planes)
+        pic = DecodedPicture(
+            poc=poc,
+            frame_num=sh0.frame_num,
+            planes=planes,
+            state=state,
+            is_ref=sh0.nal_ref_idc != 0,
+            is_idr=sh0.is_idr,
+            slice_type=sh0.slice_type,
+            sei=self.pending_sei,
+            tone_mapping=self.active_tone_mapping,
+            field_parity=parity,
+        )
+        self.pending_sei = []
+        if pic.is_ref:
+            # sliding window over complementary FRAME pairs: when the
+            # frame count exceeds num_ref_frames, the oldest frame's
+            # fields leave together (mbuffer.c sliding_window semantics)
+            self._field_refs.append(pic)
+            max_fn = sps.max_frame_num
+
+            def wrap(fn):
+                return fn - max_fn if fn > sh0.frame_num else fn
+
+            while len({f.frame_num for f in self._field_refs}) > \
+                    sps.num_ref_frames:
+                oldest = min({f.frame_num for f in self._field_refs},
+                             key=wrap)
+                self._field_refs = [f for f in self._field_refs
+                                    if f.frame_num != oldest]
+        return pic
+
     def _finish_picture(self, pending) -> DecodedPicture:
         state: PictureParseState = pending["state"]
         sps: SPS = pending["sps"]
         pps: PPS = pending["pps"]
         sh0: SliceHeader = pending["sh0"]
         poc = pending["poc"]
+        if sh0.field_pic_flag:
+            return self._finish_field_picture(pending)
         planes = Planes(sps)
 
         # per-slice reference lists + colocated info
@@ -530,8 +679,51 @@ class H264Decoder:
         return pic
 
 
+def weave_fields(pics: list) -> list:
+    """Pair decoded top/bottom fields into frame pictures (output-stage
+    field pairing, ldecod/src/output.c flush_pending_output): lines of
+    the top field land on even frame rows, bottom on odd."""
+    out = [p for p in pics if p.field_parity < 0]
+    fields = sorted((p for p in pics if p.field_parity >= 0),
+                    key=lambda p: p.poc)
+    used = set()
+    for i, top in enumerate(fields):
+        if id(top) in used or top.field_parity != 0:
+            continue
+        bot = next(
+            (f for f in fields[i + 1:]
+             if id(f) not in used and f.field_parity == 1
+             and f.frame_num == top.frame_num), None)
+        if bot is None:
+            continue
+        used.add(id(top))
+        used.add(id(bot))
+        import copy as _copy
+
+        frame = _copy.copy(top)
+        pl = Planes.__new__(Planes)
+        H2, W = top.planes.Y.shape
+        pl.Y = np.empty((2 * H2, W), np.int32)
+        pl.Y[0::2] = np.asarray(top.planes.Y)
+        pl.Y[1::2] = np.asarray(bot.planes.Y)
+        Hc, Wc = top.planes.U.shape
+        pl.U = np.empty((2 * Hc, Wc), np.int32)
+        pl.V = np.empty((2 * Hc, Wc), np.int32)
+        pl.U[0::2] = np.asarray(top.planes.U)
+        pl.U[1::2] = np.asarray(bot.planes.U)
+        pl.V[0::2] = np.asarray(top.planes.V)
+        pl.V[1::2] = np.asarray(bot.planes.V)
+        frame.planes = pl
+        frame.field_parity = -1
+        out.append(frame)
+    return sorted(out, key=lambda p: p.poc)
+
+
 def decode_annexb(data: bytes, use_device: bool = False) -> list:
-    """Decode a stream; returns pictures in output (POC) order."""
+    """Decode a stream; returns pictures in output (POC) order; field
+    pictures come back woven into frames."""
     dec = H264Decoder(use_device=use_device)
     pics = list(dec.decode_stream(data))
+    if any(p.field_parity >= 0 for p in pics):
+        return weave_fields(pics)
     return sorted(pics, key=lambda p: p.poc)

@@ -83,6 +83,29 @@ ZZ_SCAN_8x8 = np.array(
     dtype=np.int32,
 )
 
+# Field (interlace) coefficient scans: scan index -> (x, y)
+# (spec Table 8-13 field scan / §8.5.6 8x8 field scan)
+FIELD_SCAN_4x4 = np.array(
+    [
+        (0, 0), (0, 1), (1, 0), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3),
+        (2, 0), (2, 1), (2, 2), (2, 3), (3, 0), (3, 1), (3, 2), (3, 3),
+    ],
+    dtype=np.int32,
+)
+FIELD_SCAN_8x8 = np.array(
+    [
+        (0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (0, 3), (0, 4), (1, 2),
+        (2, 0), (1, 3), (0, 5), (0, 6), (0, 7), (1, 4), (2, 1), (3, 0),
+        (2, 2), (1, 5), (1, 6), (1, 7), (2, 3), (3, 1), (4, 0), (3, 2),
+        (2, 4), (2, 5), (2, 6), (2, 7), (3, 3), (4, 1), (5, 0), (4, 2),
+        (3, 4), (3, 5), (3, 6), (3, 7), (4, 3), (5, 1), (6, 0), (5, 2),
+        (4, 4), (4, 5), (4, 6), (4, 7), (5, 3), (6, 1), (6, 2), (5, 4),
+        (5, 5), (5, 6), (5, 7), (6, 3), (7, 0), (7, 1), (6, 4), (6, 5),
+        (6, 6), (6, 7), (7, 2), (7, 3), (7, 4), (7, 5), (7, 6), (7, 7),
+    ],
+    dtype=np.int32,
+)
+
 # 4x4-block raster position within MB for block index 0..15 (2-level Z order):
 # blk -> (x4, y4) in 4x4-block units
 BLK4_TO_XY = np.array(

@@ -352,13 +352,18 @@ class PictureReconstructor(IntraReconstructor):
     (Ypad, Upad, Vpad) per slice; provided per slice id.
     """
 
-    def __init__(self, st, sps, pps, planes, slice_refs, slice_wp=None):
+    def __init__(self, st, sps, pps, planes, slice_refs, slice_wp=None,
+                 slice_cadj=None):
         super().__init__(st, sps, pps, planes)
         # slice_refs: per slice id: [list0, list1] where each is a list of
         # (Ypad, Upad, Vpad) tuples (padded with MC.PAD)
         self.slice_refs = slice_refs
         # slice_wp: per slice id: None or build_wp_params() dict
         self.slice_wp = slice_wp or [None] * len(slice_refs)
+        # slice_cadj: per slice id: [list0 adj, list1 adj] chroma vertical
+        # MV adjustment per ref (0 / +2 / -2 quarter-luma units) for
+        # opposite-parity field references (spec §8.4.1.4.1)
+        self.slice_cadj = slice_cadj
 
     def recon_mb(self, addr: int):
         st = self.st
@@ -405,10 +410,14 @@ class PictureReconstructor(IntraReconstructor):
                     preds_y.append(
                         MC.luma_block(Ypad, MC.PAD, xi, yi, dx, dy, 4, 4, self.max_y)
                     )
-                    # chroma: eighth-pel from the same MV
+                    # chroma: eighth-pel from the same MV (+- parity
+                    # adjustment for opposite-parity field refs)
+                    cvy = mvy
+                    if self.slice_cadj is not None:
+                        cvy = mvy + self.slice_cadj[sid][lst][ref]
                     cx_full = (px >> 1) + (mvx >> 3)
-                    cy_full = (py >> 1) + (mvy >> 3)
-                    fx, fy = mvx & 7, mvy & 7
+                    cy_full = (py >> 1) + (cvy >> 3)
+                    fx, fy = mvx & 7, cvy & 7
                     cx_full = max(-(MC.PAD - 4), min(cwidth + MC.PAD - 8, cx_full))
                     cy_full = max(-(MC.PAD - 4), min(cheight + MC.PAD - 8, cy_full))
                     preds_u.append(

@@ -409,7 +409,8 @@ def cabac_parse_slice(st, rbsp: bytes, sh, sps, pps, slice_id: int,
 _MAXREF = 32
 
 
-def recon_picture(st, sps, pps, planes, slice_info, slice_refs, slice_wp):
+def recon_picture(st, sps, pps, planes, slice_info, slice_refs, slice_wp,
+                  slice_cadj=None):
     """Native full-picture reconstruction (MV derivation + MC + intra +
     residuals); the runtime dual of decoder/recon.py + decoder/mv.py.
 
@@ -473,6 +474,12 @@ def recon_picture(st, sps, pps, planes, slice_info, slice_refs, slice_wp):
     wct = np.ones((NS, 2, _MAXREF, 2), np.int32) * 32
     oct_ = np.zeros((NS, 2, _MAXREF, 2), np.int32)
     wimp = np.full((NS, _MAXREF, _MAXREF, 2), 32, np.int32)
+    cadj = np.zeros((NS, 2, _MAXREF), np.int32)
+    if slice_cadj is not None:
+        for sid, lsts in enumerate(slice_cadj):
+            for lst in (0, 1):
+                for ri, v in enumerate(lsts[lst][:_MAXREF]):
+                    cadj[sid, lst, ri] = v
     PTR = ctypes.POINTER(ctypes.c_int32)
     refY = (PTR * (NS * 2 * _MAXREF))()
     refU = (PTR * (NS * 2 * _MAXREF))()
@@ -572,7 +579,8 @@ def recon_picture(st, sps, pps, planes, slice_info, slice_refs, slice_wp):
         p(s_refids), p(s_reflt), p(s_curpoc), p(s_colpoc),
         p(s_has_col), p(col_moving), p(col_ref0), p(col_ref1),
         p(col_id0), p(col_id1), p(col_mv0), p(col_mv1),
-        p(wp_mode), p(wp_ly), p(wp_lc), p(wy), p(oyt), p(wct), p(oct_),
+        p(wp_mode), p(wp_ly), p(wp_lc), p(cadj),
+        p(wy), p(oyt), p(wct), p(oct_),
         p(wimp), refY, refU, refV, p(ws4), p(ws8), has_ws,
     )
     if rc != 0:

@@ -94,6 +94,7 @@ typedef struct {
   const int32_t *col_mv0, *col_mv1;    /* (NS, H4, W4, 2) */
   /* WP tables */
   const int32_t *wp_mode, *wp_ly, *wp_lc;       /* (NS,) */
+  const int32_t *cadj;          /* (NS, 2, MAXREF) chroma parity adj */
   const int32_t *wy, *oy;       /* (NS, 2, MAXREF) */
   const int32_t *wc, *oc;       /* (NS, 2, MAXREF, 2) */
   const int32_t *wimp;          /* (NS, MAXREF, MAXREF, 2) implicit pairs */
@@ -1212,8 +1213,9 @@ static int recon_one_mb(rctx_t *c, int addr) {
         yi = imax(-(c->pad - 8), imin(c->height + c->pad - 12, yi));
         luma_mc4(Yp, stride, xi + c->pad, yi + c->pad, dx, dy,
                  py0[n_used]);
-        int cxi = (px >> 1) + (mvx >> 3), cyi = (py >> 1) + (mvy >> 3);
-        int fx = mvx & 7, fy = mvy & 7;
+        int cvy = mvy + c->cadj[((long)sid * 2 + lst) * MAXREF + ref];
+        int cxi = (px >> 1) + (mvx >> 3), cyi = (py >> 1) + (cvy >> 3);
+        int fx = mvx & 7, fy = cvy & 7;
         cxi = imax(-(c->pad - 4), imin(cw + c->pad - 8, cxi));
         cyi = imax(-(c->pad - 4), imin(c->ch + c->pad - 8, cyi));
         for (int j = 0; j < 2; j++)
@@ -1358,6 +1360,7 @@ long recon_picture(
     const int64_t *col_id0, const int64_t *col_id1,
     const int32_t *col_mv0, const int32_t *col_mv1,
     const int32_t *wp_mode, const int32_t *wp_ly, const int32_t *wp_lc,
+    const int32_t *cadj,
     const int32_t *wy, const int32_t *oy, const int32_t *wc,
     const int32_t *oc, const int32_t *wimp,
     int32_t *const *refY, int32_t *const *refU, int32_t *const *refV,
@@ -1388,6 +1391,7 @@ long recon_picture(
   c->col_id0 = col_id0; c->col_id1 = col_id1;
   c->col_mv0 = col_mv0; c->col_mv1 = col_mv1;
   c->wp_mode = wp_mode; c->wp_ly = wp_ly; c->wp_lc = wp_lc;
+  c->cadj = cadj;
   c->wy = wy; c->oy = oy; c->wc = wc; c->oc = oc; c->wimp = wimp;
   c->refY = refY; c->refU = refU; c->refV = refV;
   c->ws4 = has_ws ? ws4 : NULL;

@@ -244,7 +244,8 @@ def deblock_picture(st, sps, planes, sp_si=False):
     max_y = (1 << sps.bit_depth_luma) - 1
     max_c = (1 << sps.bit_depth_chroma) - 1
     cw, chh = sps.mb_chroma_size
-    BSV, BSH = _precompute_strengths(st, sp_si)
+    BSV, BSH = _precompute_strengths(
+        st, sp_si, field=getattr(sps, "is_field_picture", False))
     planes_native_ok = all(
         a is None or (a.dtype == np.int32 and a.flags.c_contiguous)
         for a in (Y, U, V)
@@ -328,7 +329,7 @@ def deblock_picture(st, sps, planes, sp_si=False):
 
 
 
-def _precompute_strengths(st, sp_si=False):
+def _precompute_strengths(st, sp_si=False, field=False):
     """Vectorized boundary strengths for all edges (frame, non-MBAFF).
 
     Returns (BSV, BSH): BSV[y4, x4] = strength of the vertical edge to the
@@ -353,6 +354,10 @@ def _precompute_strengths(st, sp_si=False):
     mv0 = st.mv[0]
     mv1 = st.mv[1]
 
+    # field pictures: vertical-MV threshold halves (field lines are two
+    # frame lines apart — ldecod/src/loopFilter.c mvlimit = 2)
+    mvlim_y = 2 if field else 4
+
     def mv_bs(sl_q, sl_p):
         rq0, rq1 = rid0[sl_q], rid1[sl_q]
         rp0, rp1 = rid0[sl_p], rid1[sl_p]
@@ -360,7 +365,7 @@ def _precompute_strengths(st, sp_si=False):
 
         def diff(a, b):
             return (np.abs(a[..., 0] - b[..., 0]) >= 4) | (
-                np.abs(a[..., 1] - b[..., 1]) >= 4
+                np.abs(a[..., 1] - b[..., 1]) >= mvlim_y
             )
 
         q0, q1 = mv0[sl_q], mv1[sl_q]
@@ -395,7 +400,11 @@ def _precompute_strengths(st, sp_si=False):
     intra_h = intra_blk[q] | intra_blk[p]
     ys = np.arange(1, H4)
     mb_edge_h = (ys % 4 == 0)[:, None]
-    bs_h = np.where(intra_h, np.where(mb_edge_h, 4, 3), bs_h)
+    # field pictures: intra HORIZONTAL MB edges use bS 3, not 4 (spec
+    # §8.7 bS derivation: bS 4 needs a vertical edge OR frame coding;
+    # the vertical neighbors of a field are 2 frame lines apart)
+    strong_h = 3 if field else 4
+    bs_h = np.where(intra_h, np.where(mb_edge_h, strong_h, 3), bs_h)
     BSH[1:, :] = bs_h
     if sp_si:
         BSV[:, :] = 3

@@ -201,6 +201,12 @@ def parse_slice_header(
         sh.direct_spatial_mv_pred_flag = r.flag()
     sh.num_ref_idx_l0_active_minus1 = pps.num_ref_idx_l0_default_active_minus1
     sh.num_ref_idx_l1_active_minus1 = pps.num_ref_idx_l1_default_active_minus1
+    if sh.field_pic_flag:
+        # field decoding doubles the default active counts (spec §7.4.3)
+        sh.num_ref_idx_l0_active_minus1 = \
+            2 * (sh.num_ref_idx_l0_active_minus1 + 1) - 1
+        sh.num_ref_idx_l1_active_minus1 = \
+            2 * (sh.num_ref_idx_l1_active_minus1 + 1) - 1
     if st in (SliceType.P, SliceType.SP, SliceType.B):
         sh.num_ref_idx_active_override_flag = r.flag()
         if sh.num_ref_idx_active_override_flag:

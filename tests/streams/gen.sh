@@ -62,3 +62,12 @@ genf wpfade_bimpl FramesToBeEncoded=4 WeightedBiprediction=2 NumberBFrames=2 Fra
   -p EnableIPCM=1 -p QPISlice=8 -p QPPSlice=8 -p QPBSlice=8 \
   -p FramesToBeEncoded=2 -p OutputFile=$DIR/cabac_ipcm.264 \
   -p ReconFile=$DIR/cabac_ipcm.rec.yuv > $DIR/cabac_ipcm.log 2>&1 || true
+
+# Field-coded (PicAFF) stream: CIF, I + P fields, CABAC (decode gate for
+# interlace support; tools/benchseq world as input)
+$LENCOD -d encoder_main.cfg -p InputFile=$BENCHSEQ_YUV -p SourceWidth=352 \
+  -p SourceHeight=288 -p FramesToBeEncoded=8 -p FrameSkip=0 \
+  -p NumberBFrames=0 -p PicInterlace=1 -p ReferenceReorder=0 \
+  -p PocMemoryManagement=0 -p QPISlice=28 -p QPPSlice=28 \
+  -p OutputFile=$OUT/field.264 -p ReconFile=$OUT/field.rec.yuv \
+  -p NumberReferenceFrames=2
