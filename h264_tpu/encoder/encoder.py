@@ -93,6 +93,9 @@ class EncoderConfig:
     transform8x8: bool = False  # allow 8x8 transform (host path)
     weighted_pred: bool = False  # P-slice explicit WP (DC-ratio luma
     # estimation, lencod/src/weighted_prediction.c:30); fast RD path
+    intra_refresh: int = 0  # forced-intra MBs per P frame (lencod
+    # RandomIntraMBRefresh, intrarefresh.c:97): pseudo-random without
+    # repetition until the whole frame has been refreshed
     partition_mode: int = 0  # 1: CAVLC data partitioning (DPA/DPB/DPC
     # NALs; spec §7.3.2.8-.10, lencod/src/header.c:541) on non-IDR pics
     scaling_lists: object = None  # (ws4 (6,4,4), ws8 (2,8,8)) raster or None
@@ -585,6 +588,22 @@ class H264Encoder:
         cpads = jnp.stack([e[2] for e in refs + pad])
         nref = jnp.int32(len(refs))
         ref_pocs = [e[0] for e in refs]
+        force_intra = None
+        if cfg.intra_refresh > 0:
+            n_mb = (W // 16) * (H // 16)
+            if not hasattr(self, "_refresh_perm"):
+                self._refresh_perm = np.random.RandomState(
+                    13).permutation(n_mb)
+                self._refresh_pos = 0
+            mask = np.zeros(n_mb, bool)
+            for _ in range(min(cfg.intra_refresh, n_mb)):
+                if self._refresh_pos >= n_mb:
+                    self._refresh_perm = np.random.RandomState(
+                        13 + len(self._src_dc)).permutation(n_mb)
+                    self._refresh_pos = 0
+                mask[self._refresh_perm[self._refresh_pos]] = True
+                self._refresh_pos += 1
+            force_intra = jnp.asarray(mask)
         wp_weights = None
         if cfg.weighted_pred:
             # DC-ratio luma weights per reference, logWD = 5
@@ -622,6 +641,8 @@ class H264Encoder:
                 wp_w=wp_w if wp_weights else None,
                 wp_o=wp_o if wp_weights else None,
                 use_wp=bool(wp_weights),
+                force_intra=force_intra,
+                use_refresh=force_intra is not None,
             )
         frame_num = self.frame_num
         self.frame_num += 1
@@ -967,12 +988,20 @@ class H264Encoder:
         assert past and fut, "B picture needs anchors on both sides"
         fut_e = fut[0]
         if cfg.b_hierarchy and is_ref:
-            # stored mid-B: the num_ref_frames most recent past refs (a
-            # prefix of the decoder default list0) — exactly the pictures
-            # still inside the sliding window when the leaf Bs decode,
-            # so this picture's colocated motion stays mappable for
-            # their temporal direct derivation
-            lst0 = past[: max(1, cfg.num_ref_frames)]
+            # stored mid-B: the longest prefix of the default (POC-desc)
+            # past list whose pictures are still inside the sliding
+            # window when the leaf Bs decode — the window then holds
+            # this B + the newest num_ref_frames+1 of today's refs — so
+            # this picture's motion stays mappable for the leaves'
+            # temporal direct derivation
+            alive = {e[0] for e in
+                     self._rd_refs[: max(1, cfg.num_ref_frames) + 1]}
+            lst0 = []
+            for e in past:
+                if e[0] not in alive:
+                    break
+                lst0.append(e)
+            lst0 = lst0 or past[:1]
             nr_max = self.sps.num_ref_frames
         elif cfg.b_hierarchy:
             # the DEFAULT B list0 the decoder will build: every DPB
@@ -995,17 +1024,20 @@ class H264Encoder:
         pocs0 = [e[0] for e in lst0]
         poc1 = fut_e[0]
         # the colocated picture's ref indices map into ITS list0 (the
-        # anchor pocs at its encode time) — translate into OUR list0
-        anchor_pocs = self._anchor_ref_pocs.get(poc1, pocs0)
-        trans = []
-        for p0 in anchor_pocs:
-            assert p0 in pocs0, (
-                f"temporal direct: colocated ref poc {p0} not in B list0 "
-                f"{pocs0}")
-            trans.append(pocs0.index(p0))
-        if trans:
-            col_ref4 = jnp.asarray(np.asarray(trans, np.int32))[
-                jnp.clip(col_ref4, 0, len(trans) - 1)]
+        # anchor pocs at its encode time) — translate into OUR list0.
+        # Stored mid-Bs never code direct modes (rd_b_pipeline make_ref
+        # masks them), so they skip the mapping entirely.
+        if not is_ref:
+            anchor_pocs = self._anchor_ref_pocs.get(poc1, pocs0)
+            trans = []
+            for p0 in anchor_pocs:
+                assert p0 in pocs0, (
+                    f"temporal direct: colocated ref poc {p0} not in B "
+                    f"list0 {pocs0}")
+                trans.append(pocs0.index(p0))
+            if trans:
+                col_ref4 = jnp.asarray(np.asarray(trans, np.int32))[
+                    jnp.clip(col_ref4, 0, len(trans) - 1)]
         dsf = [dist_scale_factor(poc, p0, poc1) if p0 != poc1 else 0
                for p0 in pocs0]
         eq = [p0 == poc1 for p0 in pocs0]

@@ -262,11 +262,13 @@ def _wp_affine(x, w, o):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("H", "W", "R", "stage", "use_wp"))
+                   static_argnames=("H", "W", "R", "stage", "use_wp",
+                                    "use_refresh"))
 def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
                   H: int, W: int, R: int, qp: int, qp_c: int,
                   lam: int, lam_me: int, stage: int = 9, nref=None,
-                  wp_w=None, wp_o=None, use_wp: bool = False):
+                  wp_w=None, wp_o=None, use_wp: bool = False,
+                  force_intra=None, use_refresh: bool = False):
     """Whole-frame RD P encode. banks: (NR, 4, Hp, Wp); cpads:
     (NR, 2, Hcp, Wcp).  lam/lam_me: lambda_mode / lambda_me << 16.
 
@@ -619,6 +621,12 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     J_i16 = D_16 + _lam_cost(lam, cb16 + 8)
 
     J_all = jnp.concatenate([J_inter, J_i16[None]], 0)  # (6, n_mb)
+    if use_refresh:
+        # forced intra refresh (lencod/src/intrarefresh.c:97 RandomIntra):
+        # scheduled MBs must code intra regardless of cost
+        J_all = jnp.where(
+            force_intra[None, :] & (jnp.arange(6)[:, None] < 5),
+            jnp.int32(1 << 29), J_all)
     win = jnp.argmin(J_all, axis=0).astype(jnp.int32)
     if stage == 4:
         return win.sum() + rec16.sum(), None, None
@@ -1648,6 +1656,12 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
 
     # winner: order [DIRECT, L0, L1, BI, I16, DIRECT_ZERO]
     J_all = jnp.concatenate([J_inter, J_i16[None], J_dz[None]], 0)
+    if make_ref:
+        # stored-reference Bs never use direct modes: their motion must
+        # stay mappable into the leaf Bs' lists for temporal direct, so
+        # it may only reference this picture's own (prefix) lists
+        BIGJ = jnp.int32(1 << 29)
+        J_all = J_all.at[0].set(BIGJ).at[5].set(BIGJ)
     win6 = jnp.argmin(J_all, axis=0).astype(jnp.int32)
     win = jnp.where(win6 == 5, B_DIRECT_ZERO,
                     jnp.where(win6 == 4, B_I16, win6))

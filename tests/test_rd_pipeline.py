@@ -259,3 +259,30 @@ def test_rd_b_hierarchy_roundtrip():
     assert ref_b >= 3, "stored B pictures missing"
     if have_ldecod():
         assert jm_decode(stream) == ours
+
+
+def test_rd_intra_refresh():
+    """Forced intra refresh (intrarefresh.c:97 RandomIntra analog):
+    every P frame codes the scheduled number of intra MBs, without
+    repetition across frames until full coverage; stream stays
+    bit-exact through our decoder."""
+    frames = _foreman(5)
+    enc = H264Encoder(EncoderConfig(
+        width=176, height=144, qp=30, fast=True, entropy="cabac",
+        num_ref_frames=1, search_range=8, intra_refresh=25))
+    stream = enc.encode_sequence(frames)
+    recs = {}
+    for poc, pl in enc.all_recons:
+        recs.setdefault(poc, pl)
+    ours = b"".join(
+        np.asarray(p).astype(np.uint8).tobytes()
+        for poc in sorted(recs)
+        for p in (recs[poc].Y, recs[poc].U, recs[poc].V))
+    pics = decode_annexb(stream)
+    assert b"".join(p.to_yuv_bytes() for p in pics) == ours
+    refreshed = set()
+    for p in sorted(pics, key=lambda q: q.poc)[1:]:
+        intra = np.nonzero(np.asarray(p.state.is_intra))[0]
+        assert len(intra) >= 25
+        refreshed.update(int(a) for a in intra)
+    assert len(refreshed) >= min(99, 4 * 25)  # no repetition while uncovered
