@@ -629,13 +629,13 @@ class H264Encoder:
                     [int(base * 2.0 ** ((int(q) - 12) / 3.0) * 65536 + 0.5)
                      for q in qp], np.int32)
             host_out, recon, new_entry = RD.rd_p_rows_pipeline(
-                *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 24),
+                *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 28),
                 qp=qp, qp_c=qp_c, lam=lam_fx,
                 lam_me=lam_fx, G=cfg.row_slices, nref=nref,
             )
         else:
             host_out, recon, new_entry = RD.rd_p_pipeline(
-                *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 24),
+                *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 28),
                 qp=qp, qp_c=qp_c, lam=lam_fx,
                 lam_me=lam_fx, nref=nref,
                 wp_w=wp_w if wp_weights else None,
@@ -1060,7 +1060,7 @@ class H264Encoder:
             jnp.asarray(np.asarray(dsf_p, np.int32)),
             jnp.asarray(np.asarray(eq_p, bool)),
             jnp.int32(poc1),
-            H=H, W=W, R=min(cfg.search_range, 24), qp=qp, qp_c=qp_c,
+            H=H, W=W, R=min(cfg.search_range, 28), qp=qp, qp_c=qp_c,
             lam=lam, lam_me=lam, nref0=jnp.int32(len(lst0)),
             make_ref=is_ref,
         )
@@ -1256,7 +1256,7 @@ class H264Encoder:
             jnp.asarray(np.ascontiguousarray(p, np.uint8)) for p in yuv
         )
         host_out, recon, new_ref = FAST.p_frame_pipeline(
-            *cur, *self._dev_ref, H=H, W=W, R=min(cfg.search_range, 24),
+            *cur, *self._dev_ref, H=H, W=W, R=min(cfg.search_range, 28),
             qp=qp, qp_c=qp_c, lambda_me=self.lambda_mode_fx,
         )
         frame_num = self.frame_num

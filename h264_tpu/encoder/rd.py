@@ -192,6 +192,17 @@ def _lam_cost(lam, bits):
     return (lam >> 16) * bits + (((lam & 0xFFFF) * bits) >> 16)
 
 
+def _satd(d):
+    """Hadamard SATD of a (..., h, w) residual: sum per 4x4 block of
+    |hadamard4x4| >> 1 (lencod/src/me_distortion.c:182 HadamardSAD4x4) —
+    the sub-pel distortion metric that discounts noise the quantizer
+    will drop anyway."""
+    b = d.reshape(*d.shape[:-2], d.shape[-2] // 4, 4,
+                  d.shape[-1] // 4, 4).swapaxes(-3, -2)
+    h = TR.hadamard4x4(b)
+    return (jnp.abs(h).sum((-1, -2)) + 1 >> 1).sum((-1, -2))
+
+
 # JM single-coefficient cost by run length (lencod/inc/block.h:45
 # COEFF_COST4x4[0]); |level| > 1 counts as MAX (9).  Encoder-only
 # thresholding: isolated small coefficients in inter blocks cost more
@@ -354,10 +365,13 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     pmvx = med_neighbors(pm_x)
     pmvy = med_neighbors(pm_y)
 
-    # MV-rate around the PMV: (n_my, n_mx, D, D)
-    bits_x = _mv_bits(dgrid[None, None, :] - pmvx[..., None])
-    bits_y = _mv_bits(dgrid[None, None, :] - pmvy[..., None])
-    mvbits = bits_x[:, :, None, :] + bits_y[:, :, :, None]
+    def mvbits_grid(px, py):
+        """MV-rate around the PMV field: (n_my, n_mx, D, D)."""
+        bits_x = _mv_bits(dgrid[None, None, :] - px[..., None])
+        bits_y = _mv_bits(dgrid[None, None, :] - py[..., None])
+        return bits_x[:, :, None, :] + bits_y[:, :, :, None]
+
+    mvbits = mvbits_grid(pmvx, pmvy)
     # reference-index rate (te(v) length against NR refs)
     rbits = np.array([1 if r == 0 else 2 * int(r + 1).bit_length() - 1
                       for r in range(NR)], np.int32)
@@ -368,9 +382,9 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     # padded (invalid) refs must never win a search
     ref_pen = jnp.where(jnp.arange(NR) >= nref, jnp.int32(1 << 29), 0)
 
-    def part_argmin(grids):
+    def part_argmin(grids, mvb):
         """grids: (NR, n_my, n_mx, D, D) -> (ref, imvx, imvy) per MB."""
-        cost = grids + _lam_cost(lam_me, mvbits)[None]
+        cost = grids + _lam_cost(lam_me, mvb)[None]
         cost = cost + (_lam_cost(lam_me, rbits) + ref_pen)[
             :, None, None, None, None]
         flat = cost.reshape(NR, n_my, n_mx, -1)
@@ -382,17 +396,23 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
                 (idx % D - R).astype(jnp.int32),
                 (idx // D - R).astype(jnp.int32))
 
-    r16, x16, y16 = part_argmin(ssd16)
+    r16, x16, y16 = part_argmin(ssd16, mvbits)
+    # second-pass PMV: the refined-quality predictor field comes from the
+    # chosen 16x16 integer MVs (closer to the decoder's median chain than
+    # the zero-biased first pass), and prices the partition searches
+    pmvx = med_neighbors(x16 * 4)
+    pmvy = med_neighbors(y16 * 4)
+    mvbits = mvbits_grid(pmvx, pmvy)
     r168 = []
     for half in range(2):
-        r168.append(part_argmin(s16x8[:, :, :, half]))
+        r168.append(part_argmin(s16x8[:, :, :, half], mvbits))
     r816 = []
     for half in range(2):
-        r816.append(part_argmin(s8x16[:, :, :, half]))
+        r816.append(part_argmin(s8x16[:, :, :, half], mvbits))
     r88 = []
     for b8 in range(4):
         by, bx = b8 >> 1, b8 & 1
-        r88.append(part_argmin(ssd8[:, :, by, :, bx]))
+        r88.append(part_argmin(ssd8[:, :, by, :, bx], mvbits))
     if stage == 2:
         return sum(u.sum() for t in ([r16, x16, y16],) for u in t), None, None
 
@@ -402,6 +422,10 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     pmvx_f = pmvx.reshape(-1)
     pmvy_f = pmvy.reshape(-1)
     offs = jnp.asarray(_REFINE)
+
+    # SATD rate weight: lambda_me = sqrt(lambda_mode) (slice.c:1261)
+    lam_satd = jnp.sqrt(
+        jnp.asarray(lam_me, jnp.float32) * 65536.0).astype(jnp.int32)
 
     def refine_unit(ref, imvx, imvy, y0, x0, px, py, h: int, w: int):
         """49-point quarter-pel refine around (imvx, imvy) with ONE window
@@ -427,10 +451,9 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
             if use_wp:
                 pred = _wp_affine(pred, wp_w[ref], wp_o[ref])
             d = orig - pred
-            ssd = (d * d).sum()
             rate = _mv_bits(base_x + ox - px) + _mv_bits(base_y + oy - py)
             preds.append(pred)
-            costs.append(ssd + _lam_cost(lam_me, rate))
+            costs.append(_satd(d) + _lam_cost(lam_satd, rate))
         costs = jnp.stack(costs)
         preds = jnp.stack(preds)
         k = jnp.argmin(costs)
@@ -1510,6 +1533,11 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
 
     a0 = argmin16(g0, nref0)
     a1 = argmin16(g1)
+    # second-pass PMV from the chosen list-0 integer field (prices the
+    # sub-pel refinement and the final MV rate closer to the decoder's
+    # median chain)
+    pmvx = med_neighbors(a0[1] * 4)
+    pmvy = med_neighbors(a0[2] * 4)
 
     mb_ys = (jnp.arange(n_mb) // n_mx) * 16
     mb_xs = (jnp.arange(n_mb) % n_mx) * 16
@@ -1525,6 +1553,8 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         wins = jax.lax.dynamic_slice(
             banks, (ref, 0, iy, ix), (1, 4, 19, 19))[0]
         preds, costs = [], []
+        lam_satd = jnp.sqrt(
+            jnp.asarray(lam_me, jnp.float32) * 65536.0).astype(jnp.int32)
         for (ox, oy) in _REFINE:
             dx, dy = int(ox) & 3, int(oy) & 3
             sx, sy = (int(ox) >> 2) + 1, (int(oy) >> 2) + 1
@@ -1538,7 +1568,7 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
             rate = _mv_bits(imvx * 4 + ox - pmvx_f[i]) + _mv_bits(
                 imvy * 4 + oy - pmvy_f[i])
             preds.append(pred)
-            costs.append((d * d).sum() + _lam_cost(lam_me, rate))
+            costs.append(_satd(d) + _lam_cost(lam_satd, rate))
         k = jnp.argmin(jnp.stack(costs))
         return (imvx * 4 + offs[k, 0], imvy * 4 + offs[k, 1],
                 jnp.stack(preds)[k])
