@@ -229,6 +229,10 @@ class H264Decoder:
                     self.dpb = DPB(sps)
                 poc = self._compute_poc(sh, sps)
                 is_new = pending is None or self._is_new_picture(pending, sh, poc)
+                if (sh.redundant_pic_cnt > 0 and pending is not None
+                        and sh.frame_num == pending["sh0"].frame_num
+                        and poc == pending["poc"]):
+                    is_new = False  # redundant slices extend their primary
                 if is_new and pending is not None:
                     yield self._finish_picture(pending)
                     pending = None
@@ -272,7 +276,18 @@ class H264Decoder:
                         "sh0": sh,
                         "slices": [],
                     }
-                if t == NalUnitType.DPA:
+                if sh.redundant_pic_cnt > 0:
+                    # redundant coded slice: used only when the primary
+                    # is damaged or missing (ldecod/src/image.c:157
+                    # Error_tracking; lencod.c:2718 redundant frames) —
+                    # primaries precede redundants in the stream, so an
+                    # empty picture here means the primary was lost
+                    if not pending.get("lost", 0) and pending["slices"]:
+                        continue
+                    if pending.get("lost", 0):
+                        pending["lost"] -= 1
+                    self._parse_slice(pending, nalu.rbsp, sh, sps, pps)
+                elif t == NalUnitType.DPA:
                     self._dp_wait = {
                         "pending": pending, "rbsp": nalu.rbsp, "sh": sh,
                         "sps": sps, "pps": pps, "b": None, "c": None,

@@ -93,6 +93,8 @@ class EncoderConfig:
     transform8x8: bool = False  # allow 8x8 transform (host path)
     weighted_pred: bool = False  # P-slice explicit WP (DC-ratio luma
     # estimation, lencod/src/weighted_prediction.c:30); fast RD path
+    redundant_pics: bool = False  # emit a redundant coded slice after
+    # each primary P slice (host path; lencod.c:2718 redundant frames)
     intra_refresh: int = 0  # forced-intra MBs per P frame (lencod
     # RandomIntraMBRefresh, intrarefresh.c:97): pseudo-random without
     # repetition until the whole frame has been refreshed
@@ -162,6 +164,8 @@ class H264Encoder:
         else:
             self._ws4 = None
             self._ws8 = None
+        if cfg.redundant_pics:
+            self.pps.redundant_pic_cnt_present_flag = True
         if cfg.row_slices > 1:
             # tile-row slices are deblocked independently (idc=2): the
             # slice header must carry the filter-control fields
@@ -480,6 +484,24 @@ class H264Encoder:
             rbsp = w.get_bytes()
             total_bytes += len(rbsp)
             nals.append(NalUnit(5 if is_idr else 1, 3 if is_ref else 0, rbsp))
+            if cfg.redundant_pics and not is_idr and stype == SliceType.P:
+                # redundant coded slice: identical coding of the same
+                # macroblocks (redundant_pic_cnt = 1), decodable in
+                # place of a lost primary (lencod.c:2718)
+                import dataclasses
+
+                shr = dataclasses.replace(sh, redundant_pic_cnt=1)
+                wr = write_slice_header(shr, sps, pps)
+                if pps.entropy_coding_mode_flag:
+                    CabacSliceWriter(st, sps, pps, shr).write_slice_data(
+                        wr, addrs)
+                else:
+                    CavlcSliceWriter(st, sps, pps, shr).write_slice_data(
+                        wr, addrs)
+                    wr.rbsp_trailing_bits()
+                rr = wr.get_bytes()
+                total_bytes += len(rr)
+                nals.append(NalUnit(1, 3 if is_ref else 0, rr))
         if self.rc is not None:
             mad = float(np.abs(Y - np.asarray(planes.Y)).mean())
             self.rc.post_frame(stype.name, 8 * total_bytes, mad)

@@ -24,8 +24,14 @@ from ..bitstream.writer import BitWriter
 
 BUFFERING_PERIOD = 0
 PIC_TIMING = 1
+PAN_SCAN_RECT = 2
+FILLER_PAYLOAD = 3
 USER_DATA_UNREGISTERED = 5
 RECOVERY_POINT = 6
+DEC_REF_PIC_MARKING_REPETITION = 7
+SCENE_INFO = 9
+FULL_FRAME_FREEZE = 13
+FULL_FRAME_FREEZE_RELEASE = 14
 TONE_MAPPING = 23
 
 
@@ -120,6 +126,47 @@ class ToneMapping:
     def apply(self, plane: np.ndarray) -> np.ndarray:
         lut = self.lut()
         return lut[np.clip(np.asarray(plane, np.int64), 0, len(lut) - 1)]
+
+
+@dataclass
+class PanScanRect:
+    """pan_scan_rect SEI (spec D.2.4; lencod/src/sei.c pan-scan
+    writer / ldecod interpreter)."""
+    payload_type = PAN_SCAN_RECT
+    pan_scan_rect_id: int = 0
+    cancel_flag: bool = False
+    # (left, right, top, bottom) offsets in 1/16 sample units
+    rects: tuple = ()
+    repetition_period: int = 0
+
+
+@dataclass
+class SceneInfo:
+    """scene_info SEI (spec D.2.10)."""
+    payload_type = SCENE_INFO
+    scene_info_present_flag: bool = True
+    scene_id: int = 0
+    scene_transition_type: int = 0
+    second_scene_id: int = 0
+
+
+@dataclass
+class FillerPayload:
+    """filler_payload SEI (spec D.2.3): n 0xFF bytes."""
+    payload_type = FILLER_PAYLOAD
+    size: int = 1
+
+
+@dataclass
+class FullFrameFreeze:
+    """full_frame_freeze / release SEI (spec D.2.14/15)."""
+    release: bool = False
+    repetition_period: int = 0
+
+    @property
+    def payload_type(self):
+        return (FULL_FRAME_FREEZE_RELEASE if self.release
+                else FULL_FRAME_FREEZE)
 
 
 @dataclass
@@ -283,6 +330,59 @@ def _parse_user_data(b: bytes) -> UserDataUnregistered:
 # sei_rbsp() level
 # ---------------------------------------------------------------------------
 
+def _parse_pan_scan(b: bytes) -> PanScanRect:
+    r = BitReader(b)
+    m = PanScanRect(pan_scan_rect_id=r.ue(), cancel_flag=r.flag())
+    if not m.cancel_flag:
+        cnt = r.ue() + 1
+        rects = []
+        for _ in range(cnt):
+            rects.append((r.se(), r.se(), r.se(), r.se()))
+        m.rects = tuple(rects)
+        m.repetition_period = r.ue()
+    return m
+
+
+def _write_pan_scan(w: BitWriter, m: PanScanRect):
+    w.ue(m.pan_scan_rect_id)
+    w.flag(m.cancel_flag)
+    if not m.cancel_flag:
+        w.ue(len(m.rects) - 1)
+        for (l, rr, t, bo) in m.rects:
+            w.se(l)
+            w.se(rr)
+            w.se(t)
+            w.se(bo)
+        w.ue(m.repetition_period)
+
+
+def _parse_scene_info(b: bytes) -> SceneInfo:
+    r = BitReader(b)
+    m = SceneInfo(scene_info_present_flag=r.flag())
+    if m.scene_info_present_flag:
+        m.scene_id = r.ue()
+        m.scene_transition_type = r.ue()
+        if m.scene_transition_type > 3:
+            m.second_scene_id = r.ue()
+    return m
+
+
+def _write_scene_info(w: BitWriter, m: SceneInfo):
+    w.flag(m.scene_info_present_flag)
+    if m.scene_info_present_flag:
+        w.ue(m.scene_id)
+        w.ue(m.scene_transition_type)
+        if m.scene_transition_type > 3:
+            w.ue(m.second_scene_id)
+
+
+def _parse_freeze(b: bytes, release: bool) -> FullFrameFreeze:
+    m = FullFrameFreeze(release=release)
+    if not release:
+        m.repetition_period = BitReader(b).ue()
+    return m
+
+
 def parse_sei(rbsp: bytes, sps_map=None, active_sps=None) -> list:
     """Parse an SEI NAL's RBSP into typed messages (unknown types kept
     raw).  (ldecod/src/sei.c:75 InterpretSEIMessage.)"""
@@ -317,6 +417,14 @@ def parse_sei(rbsp: bytes, sps_map=None, active_sps=None) -> list:
                 out.append(_parse_buffering_period(body, sps_map))
             elif pt == PIC_TIMING:
                 out.append(_parse_pic_timing(body, active_sps))
+            elif pt == PAN_SCAN_RECT:
+                out.append(_parse_pan_scan(body))
+            elif pt == SCENE_INFO:
+                out.append(_parse_scene_info(body))
+            elif pt == FILLER_PAYLOAD:
+                out.append(FillerPayload(size=len(body)))
+            elif pt in (FULL_FRAME_FREEZE, FULL_FRAME_FREEZE_RELEASE):
+                out.append(_parse_freeze(body, pt == FULL_FRAME_FREEZE_RELEASE))
             elif pt == USER_DATA_UNREGISTERED:
                 out.append(_parse_user_data(body))
             elif pt == RECOVERY_POINT:
@@ -335,9 +443,21 @@ def parse_sei(rbsp: bytes, sps_map=None, active_sps=None) -> list:
 def _payload_bytes(msg, sps_map=None, active_sps=None) -> bytes:
     if isinstance(msg, RawSEI):
         return msg.data
+    if isinstance(msg, FillerPayload):
+        return b"\xff" * msg.size
     w = BitWriter()
     if isinstance(msg, BufferingPeriod):
         _write_buffering_period(w, msg, sps_map)
+    elif isinstance(msg, PanScanRect):
+        _write_pan_scan(w, msg)
+    elif isinstance(msg, SceneInfo):
+        _write_scene_info(w, msg)
+    elif isinstance(msg, FullFrameFreeze):
+        if not msg.release:
+            w.ue(msg.repetition_period)
+        else:
+            w.flag(True)  # payload must be non-empty; spec allows any
+        
     elif isinstance(msg, PicTiming):
         _write_pic_timing(w, msg, active_sps)
     elif isinstance(msg, UserDataUnregistered):

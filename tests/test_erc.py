@@ -128,3 +128,50 @@ def test_strict_mode_raises_on_gap():
     lossy = [n for g in (groups[0], groups[1], groups[3]) for n in g]
     with pytest.raises(Exception):
         _decode_pics(lossy, 0)
+
+
+def test_redundant_slices():
+    """Redundant coded slices (lencod.c:2718 Init_redundant_frame;
+    ldecod/src/image.c:157 Error_tracking): ignored while the primary is
+    intact, decoded in its place when the primary slice is lost."""
+    from h264_tpu.bitstream.nal import iter_annexb_nalus
+    from h264_tpu.syntax.slice_header import parse_slice_header
+    from h264_tpu.syntax.parsets import parse_sps, parse_pps
+
+    enc = H264Encoder(EncoderConfig(
+        width=W, height=H, qp=30, search_range=8, subpel=False,
+        entropy="cabac", redundant_pics=True))
+    stream = enc.encode_sequence(_frames(3))
+    recs = {}
+    for poc, pl in enc.all_recons:
+        recs.setdefault(poc, pl)
+    ours = b"".join(
+        np.asarray(p).astype(np.uint8).tobytes()
+        for poc in sorted(recs)
+        for p in (recs[poc].Y, recs[poc].U, recs[poc].V))
+    nalus = list(iter_annexb_nalus(write_annexb([])) if False else [])
+    nalus = list(iter_annexb_nalus(stream))
+    # with every NAL present: redundant slices are skipped, bit-exact
+    pics = _decode_pics(nalus, conceal=0)
+    assert b"".join(p.to_yuv_bytes() for p in pics) == ours
+    # classify primaries vs redundants
+    sps_map, pps_map = {}, {}
+    prim_idx = []
+    for i, n in enumerate(nalus):
+        if n.nal_unit_type == 7:
+            s = parse_sps(n.rbsp)
+            sps_map[s.seq_parameter_set_id] = s
+        elif n.nal_unit_type == 8:
+            p = parse_pps(n.rbsp)
+            pps_map[p.pic_parameter_set_id] = p
+        elif n.nal_unit_type == 1:
+            sh, _, _ = parse_slice_header(
+                n.rbsp, sps_map, pps_map, n.nal_ref_idc, False)
+            if sh.redundant_pic_cnt == 0:
+                prim_idx.append(i)
+    assert len(prim_idx) == 2  # two P primaries
+    # drop the first P PRIMARY: the redundant copy must take over,
+    # reproducing the identical reconstruction
+    kept = [n for i, n in enumerate(nalus) if i != prim_idx[0]]
+    pics2 = _decode_pics(kept, conceal=2)
+    assert b"".join(p.to_yuv_bytes() for p in pics2) == ours
