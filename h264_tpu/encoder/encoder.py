@@ -95,6 +95,9 @@ class EncoderConfig:
     # estimation, lencod/src/weighted_prediction.c:30); fast RD path
     redundant_pics: bool = False  # emit a redundant coded slice after
     # each primary P slice (host path; lencod.c:2718 redundant frames)
+    loss_aware_k: int = 0  # loss-aware RDO: simulated lossy decoders
+    # (lencod rdopt=3 NumberOfDecoders; 0 disables)
+    loss_rate: float = 0.1  # per-frame slice loss probability (LossRateA)
     intra_refresh: int = 0  # forced-intra MBs per P frame (lencod
     # RandomIntraMBRefresh, intrarefresh.c:97): pseudo-random without
     # repetition until the whole frame has been refreshed
@@ -130,6 +133,13 @@ class H264Encoder:
             assert cfg.b_frames == 3, "2-layer pyramid needs b_frames == 3"
             assert cfg.fast and cfg.rd, "hierarchy runs on the RD pipeline"
         self._src_dc: dict = {}  # poc -> source-luma mean (WP estimation)
+        self._lsim = None
+        if cfg.loss_aware_k > 0:
+            from .lossaware import LossSimulator
+
+            assert cfg.fast and cfg.rd, "loss-aware RDO runs on the RD path"
+            self._lsim = LossSimulator(
+                cfg.loss_aware_k, cfg.loss_rate, cfg.height, cfg.width)
         if cfg.weighted_pred:
             # P prediction weighting runs only in the device RD pipeline
             assert cfg.fast and cfg.rd and cfg.rc_bitrate == 0, (
@@ -374,6 +384,8 @@ class H264Encoder:
             self.recon_pics.clear()
             self._rd_refs.clear()
             self.frame_num = 0
+            if self._lsim is not None:
+                self._lsim.reset()
         is_ref = stype != SliceType.B  # B pictures are disposable here
         if self.rc is not None:
             qp = self.rc.pick_qp(stype.name)
@@ -665,7 +677,15 @@ class H264Encoder:
                 use_wp=bool(wp_weights),
                 force_intra=force_intra,
                 use_refresh=force_intra is not None,
+                drift_pen=(self._lsim.pen if self._lsim is not None
+                           and self._lsim.pen is not None else None),
+                use_drift=(self._lsim is not None
+                           and self._lsim.pen is not None),
             )
+        if self._lsim is not None:
+            intra4_c, _ref4_c, mvx4_c, mvy4_c = new_entry[2]
+            self._lsim.after_frame(
+                recon[0], jnp.stack([mvx4_c, mvy4_c], -1), intra4_c)
         frame_num = self.frame_num
         self.frame_num += 1
         if poc is None:

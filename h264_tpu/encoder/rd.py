@@ -274,12 +274,13 @@ def _wp_affine(x, w, o):
 
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "R", "stage", "use_wp",
-                                    "use_refresh"))
+                                    "use_refresh", "use_drift"))
 def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
                   H: int, W: int, R: int, qp: int, qp_c: int,
                   lam: int, lam_me: int, stage: int = 9, nref=None,
                   wp_w=None, wp_o=None, use_wp: bool = False,
-                  force_intra=None, use_refresh: bool = False):
+                  force_intra=None, use_refresh: bool = False,
+                  drift_pen=None, use_drift: bool = False):
     """Whole-frame RD P encode. banks: (NR, 4, Hp, Wp); cpads:
     (NR, 2, Hcp, Wcp).  lam/lam_me: lambda_mode / lambda_me << 16.
 
@@ -625,6 +626,10 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     J_inter = D_i + _lam_cost(lam, R_inter)
     J_skip = D_skip  # rate ~ 0
     J_inter = J_inter.at[4].set(J_skip)
+    if use_drift:
+        # loss-aware RDO: expected drift distortion of inter prediction
+        # under simulated losses (md_highloss.c via encoder/lossaware.py)
+        J_inter = J_inter + drift_pen[None, :]
 
     # ---- I16 candidate (orig-neighbor approximation for the decision) --
     up_rows = jnp.pad(cur_y, ((1, 0), (0, 0)))[:-1]  # row above each pixel

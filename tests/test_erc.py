@@ -175,3 +175,55 @@ def test_redundant_slices():
     kept = [n for i, n in enumerate(nalus) if i != prim_idx[0]]
     pics2 = _decode_pics(kept, conceal=2)
     assert b"".join(p.to_yuv_bytes() for p in pics2) == ours
+
+
+def test_loss_aware_rdo():
+    """Loss-aware RDO (md_highloss.c / lencod decoder.c restructured as
+    a simulated-decoder batch dim, encoder/lossaware.py): with simulated
+    losses the encoder buys more intra, and the stream survives real
+    slice loss with higher fidelity than the loss-blind encode."""
+    frames = _frames(8)
+
+    def encode(k):
+        enc = H264Encoder(EncoderConfig(
+            width=W, height=H, qp=30, fast=True, entropy="cabac",
+            num_ref_frames=1, search_range=8, loss_aware_k=k,
+            loss_rate=0.5))
+        nalus = list(enc.headers())
+        for out in enc.encode_stream(frames):
+            nalus.extend(out)
+        recs = {}
+        for poc, pl in enc.all_recons:
+            recs.setdefault(poc, pl)
+        ours = b"".join(
+            np.asarray(p).astype(np.uint8).tobytes()
+            for poc in sorted(recs)
+            for p in (recs[poc].Y, recs[poc].U, recs[poc].V))
+        return nalus, ours
+
+    nal_la, rec_la = encode(8)
+    nal_off, rec_off = encode(0)
+    # round trip stays bit-exact with loss-aware decisions
+    pics = _decode_pics(nal_la, conceal=0)
+    assert b"".join(p.to_yuv_bytes() for p in pics) == rec_la
+    # more intra under expected loss
+    n_intra_la = sum(int(p.state.is_intra.sum()) for p in pics)
+    pics_off = _decode_pics(nal_off, conceal=0)
+    n_intra_off = sum(int(p.state.is_intra.sum()) for p in pics_off)
+    assert n_intra_la > n_intra_off, (n_intra_la, n_intra_off)
+
+    def lossy_psnr(nalus):
+        # drop the 4th picture's slice, decode with concealment, measure
+        # against the source tail
+        slices = [i for i, n in enumerate(nalus)
+                  if n.nal_unit_type in (1, 5)]
+        kept = [n for i, n in enumerate(nalus) if i != slices[4]]
+        pics = _decode_pics(kept, conceal=2)
+        vals = []
+        for p in sorted(pics, key=lambda q: q.poc)[5:]:
+            src = frames[min(p.poc // 2, len(frames) - 1)][0]
+            vals.append(_psnr(p.planes.Y, src))
+        return float(np.mean(vals))
+
+    # loss-aware stream degrades less after a real loss
+    assert lossy_psnr(nal_la) > lossy_psnr(nal_off) - 0.3
