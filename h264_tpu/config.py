@@ -256,3 +256,48 @@ def parse_decoder_cfg(path: str | Path) -> DecoderRunConfig:
         except ValueError:
             break  # free-text trailer reached
     return d
+
+
+# ---------------------------------------------------------------------------
+# Profile / level validation (lencod/src/configfile.c:1289 ProfileCheck,
+# :1481 LevelCheck; level indices lencod.c:2647 SetLevelIndices)
+# ---------------------------------------------------------------------------
+
+# level_idc -> (MaxMBPS, MaxFS, MaxDpbMbs)  (spec Table A-1, normative)
+LEVEL_LIMITS = {
+    10: (1485, 99, 396), 11: (3000, 396, 900), 12: (6000, 396, 2376),
+    13: (11880, 396, 2376), 20: (11880, 396, 2376),
+    21: (19800, 792, 4752), 22: (20250, 1620, 8100),
+    30: (40500, 1620, 8100), 31: (108000, 3600, 18000),
+    32: (216000, 5120, 20480), 40: (245760, 8192, 32768),
+    41: (245760, 8192, 32768), 42: (522240, 8704, 34816),
+    50: (589824, 22080, 110400), 51: (983040, 36864, 184320),
+}
+
+
+def level_for(width: int, height: int, fps: float,
+              num_ref_frames: int) -> int:
+    """Smallest level_idc whose Table A-1 limits admit the stream
+    (frame size, MB rate, DPB size) — the SetLevelIndices analog."""
+    fs = (width // 16) * (height // 16)
+    mbps = fs * fps
+    for lvl in sorted(LEVEL_LIMITS):
+        max_mbps, max_fs, max_dpb = LEVEL_LIMITS[lvl]
+        if fs <= max_fs and mbps <= max_mbps                 and fs * max(1, num_ref_frames) <= max_dpb:
+            return lvl
+    raise ValueError(
+        f"stream exceeds level 5.1 limits: {width}x{height}@{fps} "
+        f"with {num_ref_frames} reference frames")
+
+
+def profile_check(enc) -> None:
+    """Feature/profile consistency (ProfileCheck analog): raises on
+    combinations no profile admits."""
+    if enc.entropy == "cabac" and enc.partition_mode == 1:
+        raise ValueError("data partitioning (Extended) excludes CABAC")
+    if enc.num_slice_groups > 1 and (enc.transform8x8
+                                     or enc.scaling_lists is not None):
+        raise ValueError("FMO (Baseline/Extended) excludes FRExt tools")
+    if enc.partition_mode == 1 and (enc.transform8x8
+                                    or enc.scaling_lists is not None):
+        raise ValueError("data partitioning excludes FRExt tools")

@@ -109,11 +109,16 @@ class EncoderConfig:
 class H264Encoder:
     def __init__(self, cfg: EncoderConfig):
         assert cfg.width % 16 == 0 and cfg.height % 16 == 0
+        from ..config import level_for, profile_check
+
+        profile_check(cfg)
         self.cfg = cfg
         use_b = cfg.b_frames > 0
         self.sps = SPS(
             profile_idc=77 if (cfg.entropy == "cabac" or use_b) else 66,
-            level_idc=30,
+            level_idc=max(30, level_for(
+                cfg.width, cfg.height, cfg.rc_fps,
+                cfg.num_ref_frames + (1 if use_b else 0))),
             # with B pictures the DPB must retain the list0 anchors PLUS
             # the future anchor (and the stored mid-B of a hierarchy), so
             # temporal-direct colocated references stay mappable into the

@@ -74,3 +74,24 @@ def test_rtp_loss_deterministic():
     assert out1 == out2 and n1 == 40 and 0 < d1 < 40
     kept = list(iter_rtp_packets(out1))
     assert len(kept) == 40 - d1
+
+
+def test_level_limits_and_profile_check():
+    """Level derivation (Table A-1 / lencod.c:2647 SetLevelIndices) and
+    profile consistency (configfile.c:1289 ProfileCheck analogs)."""
+    import pytest
+
+    from h264_tpu.config import level_for, profile_check
+    from h264_tpu.encoder.encoder import EncoderConfig
+
+    assert level_for(176, 144, 15.0, 1) == 10
+    assert level_for(352, 288, 30.0, 5) == 13  # CIF@30 fits 1.3
+    assert level_for(1920, 1088, 30.0, 4) == 40
+    with pytest.raises(ValueError):
+        level_for(16384, 16384, 60.0, 16)
+    with pytest.raises(ValueError):
+        profile_check(EncoderConfig(
+            width=176, height=144, entropy="cabac", partition_mode=1))
+    with pytest.raises(ValueError):
+        profile_check(EncoderConfig(
+            width=176, height=144, transform8x8=True, num_slice_groups=2))
