@@ -406,6 +406,40 @@ class H264Decoder:
             parser = CabacSliceParser(rbsp, sh, sps, pps, state, sid)
             parser.trace = None
         else:
+            if part_b is None and part_c is None and not sh.is_dp:
+                fmo_next = None
+                if pps.num_slice_groups_minus1 > 0:
+                    from ..syntax.fmo import mb_to_slice_group, \
+                        next_mb_array
+
+                    sg_map = mb_to_slice_group(
+                        sps, pps, sh.slice_group_change_cycle)
+                    fmo_next = next_mb_array(sg_map)
+                try:
+                    from ..native import cavlc_parse_slice
+
+                    n = cavlc_parse_slice(state, rbsp, sh, sps, pps, sid,
+                                          fmo_next=fmo_next)
+                except ValueError:
+                    n = -1
+                if n is not None and n >= 0:
+                    pending["slices"].append(sh)
+                    return
+                if n == -1:
+                    if not self.conceal_mode:
+                        raise ValueError("corrupt CAVLC slice data")
+                    bad = np.asarray(state.slice_id) == sid
+                    state.slice_id[bad] = -1
+                    state.mb_type[bad] = -1
+                    state.is_intra[bad] = 0
+                    state.skip_flag[bad] = 0
+                    state.cbp[bad] = 0
+                    bad4 = np.repeat(np.repeat(
+                        bad.reshape(state.H, state.W), 4, 0), 4, 1)
+                    state.ref_idx[:, bad4] = -1
+                    state.mv[:, bad4] = 0
+                    pending["lost"] = pending.get("lost", 0) + 1
+                    return
             parser = CavlcSliceParser(rbsp, sh, sps, pps, state, sid)
             if part_b is not None or part_c is not None or sh.is_dp:
                 from ..bitstream.reader import BitReader

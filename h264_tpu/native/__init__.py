@@ -406,6 +406,127 @@ def cabac_parse_slice(st, rbsp: bytes, sh, sps, pps, slice_id: int,
     return int(n)
 
 
+def cavlc_parse_slice(st, rbsp: bytes, sh, sps, pps, slice_id: int,
+                      fmo_next=None):
+    """Native CAVLC slice-data parser (native/cavlc_reader.c); the decode
+    dual of cavlc_write_slice.  Returns the parsed-MB count or None when
+    the oracle must run (DP, 4:2:2+, high bit depth, fields)."""
+    lib = _load("cavlc_reader")
+    if lib is None:
+        return None
+    import numpy as np
+
+    from ..syntax.slice_header import SliceType
+
+    if sps.chroma_format_idc != 1 or sps.bit_depth_luma != 8:
+        return None
+    if sh.field_pic_flag or sh.is_dp:
+        return None
+    type_code = {SliceType.P: 0, SliceType.B: 1, SliceType.I: 2}.get(
+        sh.slice_type)
+    if type_code is None:
+        return None
+    if not getattr(lib, "_creader_sigs", False):
+        lib.cavlc_parse_slice.restype = ctypes.c_long
+        lib._creader_sigs = True
+
+    def p(x):
+        return x.ctypes.data_as(ctypes.c_void_p)
+
+    def a(x, dtype):
+        arr = np.ascontiguousarray(x, dtype)
+        assert arr.flags.c_contiguous
+        return arr
+
+    ctabs = _get_cavlc_tables()
+    zz = _get_cabac_tabs()  # zz4 / zz8 raster maps
+    nb = st.n_mbs
+    cbp_blk = np.asarray(st.cbp_blk, np.int64)
+    next_p = ctypes.cast(None, ctypes.c_void_p)
+    next_arr = None
+    if fmo_next is not None:
+        next_arr = a(fmo_next, np.int32)
+        next_p = p(next_arr)
+    ipcm_data = np.zeros((nb, 384), np.uint8)
+    ipcm_addrs = np.zeros(nb, np.int32)
+    n_ipcm = ctypes.c_int32(0)
+    arrs = {
+        "mb_type": a(st.mb_type, np.int32),
+        "raw_mb_type": a(st.raw_mb_type, np.int32),
+        "skip_flag": a(st.skip_flag, np.uint8),
+        "cbp": a(st.cbp, np.int32),
+        "qp": a(st.qp, np.int32),
+        "c_ipred_mode": a(st.c_ipred_mode, np.int32),
+        "b8mode": a(st.b8mode, np.int32),
+        "b8pdir": a(st.b8pdir, np.int32),
+        "i16mode": a(st.i16mode, np.int32),
+        "is_intra": a(st.is_intra, np.uint8),
+        "transform8x8": a(st.transform8x8, np.uint8),
+        "slice_id": a(st.slice_id, np.int32),
+        "ipredmode": a(st.ipredmode, np.int8),
+        "ref_idx": a(st.ref_idx, np.int8),
+        "mvd": a(st.mvd, np.int32),
+        "luma_levels": a(st.luma_levels, np.int32),
+        "luma8_levels": a(st.luma8_levels, np.int32),
+        "luma_dc": a(st.luma_dc, np.int32),
+        "chroma_dc": a(st.chroma_dc, np.int32),
+        "chroma_levels": a(st.chroma_levels, np.int32),
+        "nnz": a(st.nnz, np.uint8),
+    }
+    buf = ctypes.create_string_buffer(rbsp, len(rbsp))
+    n = lib.cavlc_parse_slice(
+        st.W, st.H,
+        p(arrs["mb_type"]), p(arrs["raw_mb_type"]), p(arrs["skip_flag"]),
+        p(arrs["cbp"]), p(cbp_blk),
+        p(arrs["qp"]), p(arrs["c_ipred_mode"]), p(arrs["b8mode"]),
+        p(arrs["b8pdir"]), p(arrs["i16mode"]), p(arrs["is_intra"]),
+        p(arrs["transform8x8"]), p(arrs["slice_id"]), p(arrs["ipredmode"]),
+        p(arrs["ref_idx"]), p(arrs["mvd"]), p(arrs["luma_levels"]),
+        p(arrs["luma8_levels"]), p(arrs["luma_dc"]), p(arrs["chroma_dc"]),
+        p(arrs["chroma_levels"]), p(arrs["nnz"]),
+        int(type_code), int(sh.slice_qp(pps)),
+        int(sh.num_ref_idx_l0_active_minus1 + 1),
+        int(sh.num_ref_idx_l1_active_minus1 + 1),
+        int(bool(pps.transform_8x8_mode_flag)),
+        int(bool(pps.constrained_intra_pred_flag)),
+        int(sps.chroma_format_idc),
+        int(bool(sps.direct_8x8_inference_flag)),
+        int(sh.first_mb_in_slice), int(slice_id), next_p,
+        ctypes.cast(buf, ctypes.c_char_p), ctypes.c_long(len(rbsp)),
+        ctypes.c_long(sh.header_bit_len),
+        p(ctabs[0]), p(ctabs[1]), p(ctabs[2]), p(ctabs[3]),
+        p(ctabs[4]), p(ctabs[5]), p(ctabs[6]), p(ctabs[7]),
+        p(ctabs[8]), p(ctabs[9]), p(ctabs[10]), p(ctabs[11]),
+        p(zz[3]), p(zz[4]),
+        p(ipcm_data), p(ipcm_addrs), st.n_mbs, ctypes.byref(n_ipcm),
+    )
+    if n < 0:
+        raise ValueError("native CAVLC parse failed (corrupt slice data)")
+    for name, arr in arrs.items():
+        dst = getattr(st, name)
+        if dst is not arr:
+            np.copyto(dst, arr.reshape(dst.shape).astype(dst.dtype))
+    st.cbp_blk = [int(v) for v in cbp_blk]
+    for k in range(int(n_ipcm.value)):
+        addr = int(ipcm_addrs[k])
+        blob = ipcm_data[k]
+        luma = blob[:256].reshape(16, 16).astype(np.int32)
+        cb = blob[256:320].reshape(8, 8).astype(np.int32)
+        cr = blob[320:384].reshape(8, 8).astype(np.int32)
+        st.ipcm_samples[addr] = (luma, cb, cr)
+    mask = np.asarray(st.slice_id) == slice_id
+    st.lf_disable[mask] = sh.disable_deblocking_filter_idc
+    st.lf_alpha[mask] = 2 * sh.slice_alpha_c0_offset_div2
+    st.lf_beta[mask] = 2 * sh.slice_beta_offset_div2
+    from ..ops.exact import chroma_qp as _cqp
+
+    cb_off, cr_off = pps.chroma_qp_offset
+    qps = np.asarray(st.qp)[mask]
+    st.qpc[mask, 0] = [_cqp(int(q), cb_off) for q in qps]
+    st.qpc[mask, 1] = [_cqp(int(q), cr_off) for q in qps]
+    return int(n)
+
+
 _MAXREF = 32
 
 
