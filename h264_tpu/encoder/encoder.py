@@ -432,11 +432,17 @@ class H264Encoder:
                 "direct_8x8_inference": sps.direct_8x8_inference_flag,
                 "spatial_direct": True,
             }
-        enc = _FrameEncoder(self, st, planes, Y, U, V, stype, qp, ref0,
-                            grids[0], ref1=ref1, sad_grids1=grids[1],
-                            b_info=b_info)
-        for addr in range(st.n_mbs):
-            enc.encode_mb(addr)
+        if (stype == SliceType.I and len(slices) == 1
+                and cfg.enable_i4 and not pps.constrained_intra_pred_flag
+                and self._ws4 is None and not cfg.transform8x8
+                and sps.chroma_format_idc == 1 and sps.bit_depth_luma == 8):
+            self._device_intra_picture(st, planes, Y, U, V, qp)
+        else:
+            enc = _FrameEncoder(self, st, planes, Y, U, V, stype, qp, ref0,
+                                grids[0], ref1=ref1, sad_grids1=grids[1],
+                                b_info=b_info)
+            for addr in range(st.n_mbs):
+                enc.encode_mb(addr)
 
         if cfg.enable_deblock:
             deblock_picture(st, sps, planes)
@@ -859,6 +865,61 @@ class H264Encoder:
             -self.sps.num_ref_frames:
         ]
         return nals
+
+    def _device_intra_picture(self, st, planes, Y, U, V, qp):
+        """Device RD coding of a whole I picture (encoder/rd.py
+        rd_i_pipeline): full-RD I16/I4 mode decisions run on the TPU;
+        the host keeps only the state fill + entropy tail."""
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        base = (0.68 if cfg.b_frames > 0 else 0.85) * 0.95
+        lam_fx = int(base * 2.0 ** ((qp - 12) / 3.0) * 65536 + 0.5)
+        (ry, ru, rv, lev, lum_dc, i16mode, cip, levc, dcc, i4flag,
+         ipm) = RD.rd_i_pipeline(
+            jnp.asarray(np.ascontiguousarray(Y, np.uint8)),
+            jnp.asarray(np.ascontiguousarray(U, np.uint8)),
+            jnp.asarray(np.ascontiguousarray(V, np.uint8)),
+            qp=jnp.int32(qp), qp_c=jnp.int32(int(st.qpc[0, 0])),
+            lam=jnp.int32(lam_fx), H=self.sps.height, W=self.sps.width)
+        n_mb = st.n_mbs
+        lev = np.asarray(lev)
+        lum_dc = np.asarray(lum_dc)
+        levc = np.asarray(levc)
+        dcc = np.asarray(dcc)
+        i4 = np.asarray(i4flag).astype(bool)
+        i16 = ~i4
+        st.is_intra[:] = 1
+        st.ipredmode[:] = np.asarray(ipm)
+        st.i16mode[:] = np.where(i16, np.asarray(i16mode), -1)
+        st.c_ipred_mode[:] = np.asarray(cip)
+        st.mb_type[:] = np.where(i4, M.I4MB, M.I16MB)
+        st.b8mode[:] = np.where(i4, M.IBLOCK, 0)[:, None]
+        st.b8pdir[:] = -1
+        zperm = np.empty(16, np.int64)
+        for br in range(4):
+            for bc in range(4):
+                zperm[int(M.XY_TO_BLK4[br, bc])] = br * 4 + bc
+        st.luma_levels[:] = lev.reshape(n_mb, 16, 4, 4)[:, zperm]
+        st.luma_dc[:] = np.where(i16[:, None, None], lum_dc, 0)
+        st.chroma_levels[:] = levc.reshape(n_mb, 2, 4, 4, 4)
+        st.chroma_dc[:] = dcc
+        nz4 = lev.any(axis=(3, 4))  # (n_mb, br, bc)
+        q8 = nz4.reshape(n_mb, 2, 2, 2, 2).any(axis=(2, 4))
+        cbp_i4 = (q8[:, 0, 0] * 1 + q8[:, 0, 1] * 2 + q8[:, 1, 0] * 4
+                  + q8[:, 1, 1] * 8)
+        cbp_l = np.where(i16, np.where(nz4.any((1, 2)), 15, 0), cbp_i4)
+        has_ac = levc.any(axis=(2, 3, 4, 5)).any(axis=1)
+        has_dc = dcc.any(axis=(2, 3)).any(axis=1)
+        cbp_c = np.where(has_ac, 2, np.where(has_dc, 1, 0))
+        st.cbp[:] = cbp_l + 16 * cbp_c
+        weights = (1 << np.arange(16, dtype=np.int64)).reshape(4, 4)
+        cbp_blk = (nz4 * weights).sum(axis=(1, 2))
+        dc_any = lum_dc.any(axis=(1, 2)) & i16
+        st.cbp_blk = (cbp_blk | dc_any).tolist()
+        planes.Y[:] = np.asarray(ry)
+        planes.U[:] = np.asarray(ru)
+        planes.V[:] = np.asarray(rv)
 
     def _fill_p_state_rd(self, st, win, ref8, mv8x, mv8y, i16mode, cip,
                          lev, dc, levc, dcc, ref_pocs, ipm_plane=None):

@@ -790,7 +790,16 @@ def _i16_pred_all(up, left, ul, au, al, orig):
           + c[:, None, None] * xs[None, :, None] + 16) >> 5
     plane = pl.clip(0, 255)
     preds = jnp.stack([vert, hor, dcp, plane], 1)  # (n, 4, 16, 16)
-    sad = jnp.abs(orig[:, None] - preds).sum((-1, -2))
+    # JM mode pick is Hadamard SATD with the block DCs re-transformed
+    # separately (lencod/src/intra16x16.c find_sad_16x16, UseHadamard=1):
+    # the I16 DC plane gets its own transform, so per-4x4 DC terms must
+    # not be priced as AC energy
+    d = orig[:, None] - preds  # (n, 4, 16, 16)
+    b = d.reshape(n, 4, 4, 4, 4, 4).swapaxes(-3, -2)
+    h = TR.hadamard4x4(b)
+    ac = jnp.abs(h).sum((-1, -2)) - jnp.abs(h[..., 0, 0])
+    hdc = TR.hadamard4x4(h[..., 0, 0])
+    sad = (ac.sum((-1, -2)) + jnp.abs(hdc).sum((-1, -2))) >> 1
     valid = jnp.stack([au, al, jnp.ones_like(au), au & al], 1)
     sad = jnp.where(valid, sad, BIG)
     mode = jnp.argmin(sad, 1).astype(jnp.int32)
@@ -960,6 +969,15 @@ def _i4_pred9(up, ur, left, X, au, al, aul, aur):
     return preds, valid
 
 
+# I4 rate-model calibration vs real CABAC costs (see encoder notes):
+# non-MPM mode signalling in adapted CABAC contexts costs more than the
+# nominal 1+3 bins; coefficient bits cost less than the CAVLC-shaped
+# _coef_bits estimate.  Units: _I4_COEF_NUM/4 scales coef bits.
+_I4_NONMPM = 4
+_I4_NONMPM_RARE = 9
+_I4_COEF_NUM = 3
+
+
 def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
                        levc, dcc, H: int, W: int, qp: int, qp_c: int,
                        lam=0):
@@ -1038,23 +1056,30 @@ def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
                 um = mwork[by, 1 + bx]
                 mpm = jnp.where((lm < 0) | (um < 0), 2, jnp.minimum(lm, um))
                 ob = orig_mb[i, 4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4]
-                d = ob[None] - preds
-                ssd = (d * d).sum((-1, -2))
-                mb_bits = jnp.where(jnp.arange(9) == mpm, 1, 4)
-                costs = jnp.where(valid, ssd + _lam_cost(lam, mb_bits),
+                # full RD over all nine modes (rdopt.c:597
+                # Mode_Decision_for_4x4IntraBlocks / RDCost_for_4x4Intra
+                # Blocks): T/Q/IQ/IT every candidate, charge true recon
+                # SSD + lambda * (mode + coefficient bits)
+                res9 = ob[None] - preds
+                co9 = TR.forward4x4(res9)
+                lev9 = Q.quant4x4(co9, qp, off_intra)
+                deq9 = Q.dequant4x4(lev9, qp).astype(jnp.int32)
+                rr9 = TR.inverse4x4(deq9)
+                rec9 = ((rr9 + (preds << 6) + 32) >> 6).clip(0, 255)
+                dd9 = ob[None] - rec9
+                ssd9 = (dd9 * dd9).sum((-1, -2))
+                m9 = jnp.arange(9)
+                mb_bits = jnp.where(
+                    m9 == mpm, 1,
+                    jnp.where(m9 < 3, _I4_NONMPM, _I4_NONMPM_RARE))
+                rate9 = (_coef_bits(lev9) * _I4_COEF_NUM) // 4 + mb_bits
+                costs = jnp.where(valid, ssd9 + _lam_cost(lam, rate9),
                                   jnp.int32(1 << 29))
                 mode = jnp.argmin(costs).astype(jnp.int32)
-                pred = preds[mode]
-                # T/Q/IQ/IT recon
-                res = ob - pred
-                co = TR.forward4x4(res)
-                lev = Q.quant4x4(co, qp, off_intra)
-                deq = Q.dequant4x4(lev, qp).astype(jnp.int32)
-                rr = TR.inverse4x4(deq)
-                rec = ((rr + (pred << 6) + 32) >> 6).clip(0, 255)
-                dd = ob - rec
-                D_tot = D_tot + (dd * dd).sum()
-                bits = bits + _coef_bits(lev) + mb_bits[mode]
+                lev = lev9[mode]
+                rec = rec9[mode]
+                D_tot = D_tot + ssd9[mode]
+                bits = bits + rate9[mode]
                 lev_mb = lev_mb.at[by, bx].set(lev)
                 work = jax.lax.dynamic_update_slice(work, rec, (py, px))
                 mwork = mwork.at[1 + by, 1 + bx].set(mode)
@@ -1068,7 +1093,7 @@ def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
                 up[None], left[None], ul[None], au[None], al[None],
                 orig_mb[i][None])
             lev, dclev, rec, D16, cb16 = _i16_tq(pred[0], orig_mb[i], qp)
-            J16 = D16 + _lam_cost(lam, cb16 + 8)
+            J16 = D16 + _lam_cost(lam, (cb16 * _I4_COEF_NUM) // 4 + 8)
             rec4, lev4, D4, cb4, modes4 = i4_decide(None)
             J4 = D4 + _lam_cost(lam, cb4 + 9)
             use4 = J4 < J16
@@ -1085,16 +1110,31 @@ def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
                 jax.lax.dynamic_slice(Vp, (yc + 1, xc), (8, 1))[:, 0]])
             ulc = jnp.stack([Up[yc, xc], Vp[yc, xc]])
             cpreds = _chroma_pred4(upc, lfc, ulc, au, al)  # (4, 2, 8, 8)
-            csad = jnp.abs(orig_c[i][None] - cpreds).sum((-1, -2, -3))
+            # full RD over the four chroma modes (rdopt.c RDCost_for_
+            # macroblocks runs the chroma residual per candidate mode):
+            # recon SSD + lambda * (coef + mode bits); mode bits follow
+            # the intra_chroma_pred_mode binarization (1/2/3/3 bins)
+            oc4 = jnp.broadcast_to(orig_c[i][None], (4, 2, 8, 8))
+            clev4, cdc4, crec4, _ = _chroma_tq(cpreds, oc4, qp_c,
+                                               intra=True)
+            dc_ = oc4 - crec4
+            cD = (dc_ * dc_).sum((-1, -2, -3))
+            adc = jnp.abs(cdc4)
+            dcb = jnp.where(adc > 0,
+                            2 * _bitlen(jnp.maximum(adc, 1)) + 1,
+                            0).sum((-1, -2, -3))
+            ccb = (_coef_bits(clev4).sum((-1, -2, -3)) + dcb)
+            cmb = jnp.asarray([1, 2, 3, 3], jnp.int32)
             cvalid = jnp.stack([
                 jnp.asarray(True), al, au, au & al])
-            csad = jnp.where(cvalid, csad, 1 << 29)
-            cmode = jnp.argmin(csad).astype(jnp.int32)
-            cpred = cpreds[cmode]
-            clev, cdc, crec, _ = _chroma_tq(
-                cpred[None], orig_c[i][None], qp_c, intra=True)
-            return (rec, crec[0], lev, dclev, mode[0], cmode,
-                    clev[0], cdc[0], use4.astype(jnp.int32), modes4)
+            cJ = jnp.where(
+                cvalid,
+                cD + _lam_cost(lam, (ccb * _I4_COEF_NUM) // 4 + cmb),
+                jnp.int32(1 << 29))
+            cmode = jnp.argmin(cJ).astype(jnp.int32)
+            return (rec, crec4[cmode], lev, dclev, mode[0], cmode,
+                    clev4[cmode], cdc4[cmode], use4.astype(jnp.int32),
+                    modes4)
 
         def inter_case(_):
             return (w_rec[i], recc[i],
@@ -1126,6 +1166,30 @@ def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
      i4flag), _ = jax.lax.scan(body, init, jnp.arange(n_mb))
     return (Yp[1:, 1 : 4 * n_mx * 4 + 1], Up[1:, 1:], Vp[1:, 1:], w_lev,
             lum_dc, i16mode, cip, levc, dcc, i4flag, ipm[1:, 1:])
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def rd_i_pipeline(cur_y, cur_u, cur_v, qp, qp_c, lam, H: int, W: int):
+    """Whole-picture intra (I/IDR) coding on device: the
+    `_intra_commit_scan` raster commit with every MB intra — full-RD
+    I16-vs-I4 with 9-mode 4x4 decisions (lencod/src/rdopt.c:597
+    Mode_Decision_for_4x4IntraBlocks) — so I pictures ride the same
+    executable family as the P/B pipelines instead of the host oracle
+    loop.  qp/qp_c/lam are traced: one executable serves every QP.
+
+    Returns (recon_y, recon_u, recon_v, lev, lum_dc, i16mode, cip,
+    levc, dcc, i4flag, ipm)."""
+    n_mb = (H // 16) * (W // 16)
+    z = jnp.zeros
+    return _intra_commit_scan(
+        cur_y.astype(jnp.int32), cur_u.astype(jnp.int32),
+        cur_v.astype(jnp.int32),
+        z((n_mb, 16, 16), jnp.int32), z((n_mb, 2, 8, 8), jnp.int32),
+        jnp.ones((n_mb,), bool),
+        z((n_mb, 4, 4, 4, 4), jnp.int32),
+        z((n_mb, 2, 2, 2, 4, 4), jnp.int32),
+        z((n_mb, 2, 2, 2), jnp.int32),
+        H=H, W=W, qp=qp, qp_c=qp_c, lam=lam)
 
 
 def _chroma_pred4(up, left, ul, au, al):
