@@ -682,7 +682,7 @@ class H264Encoder:
             host_out, recon, new_entry = RD.rd_p_pipeline(
                 *cur, banks, cpads, H=H, W=W, R=min(cfg.search_range, 28),
                 qp=qp, qp_c=qp_c, lam=lam_fx,
-                lam_me=lam_fx, nref=nref,
+                lam_me=2 * lam_fx, nref=nref,
                 wp_w=wp_w if wp_weights else None,
                 wp_o=wp_o if wp_weights else None,
                 use_wp=bool(wp_weights),
@@ -692,6 +692,7 @@ class H264Encoder:
                            and self._lsim.pen is not None else None),
                 use_drift=(self._lsim is not None
                            and self._lsim.pen is not None),
+                use_cme=True,
             )
         if self._lsim is not None:
             intra4_c, _ref4_c, mvx4_c, mvy4_c = new_entry[2]
@@ -939,11 +940,11 @@ class H264Encoder:
         # mb types / partition modes
         type_map = {RD.C_P16x16: M.P16x16, RD.C_P16x8: M.P16x8,
                     RD.C_P8x16: M.P8x16, RD.C_P8x8: M.P8x8,
-                    RD.C_SKIP: M.P16x16, RD.C_I16: M.I16MB,
-                    RD.C_I4: M.I4MB}
+                    RD.C_SKIP: M.P16x16, RD.C_P16PMV: M.P16x16,
+                    RD.C_I16: M.I16MB, RD.C_I4: M.I4MB}
         b8_map = {RD.C_P16x16: 1, RD.C_P16x8: 2, RD.C_P8x16: 3,
-                  RD.C_P8x8: M.B8_8x8, RD.C_SKIP: 1, RD.C_I16: 0,
-                  RD.C_I4: M.IBLOCK}
+                  RD.C_P8x8: M.B8_8x8, RD.C_SKIP: 1, RD.C_P16PMV: 1,
+                  RD.C_I16: 0, RD.C_I4: M.IBLOCK}
         st.mb_type[:] = np.vectorize(type_map.get)(win)
         st.b8mode[:] = np.vectorize(b8_map.get)(win)[:, None]
         st.b8pdir[:] = np.where(intra, -1, 0)[:, None]

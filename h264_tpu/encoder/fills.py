@@ -177,7 +177,7 @@ def fill_p_mvd_skip(st, win, C):
     x0 = (np.arange(n_mb) % W) * 4
 
     # skip detection (16x16 / SKIP winners with cbp 0 and ref 0)
-    is16 = (win == C.C_P16x16) | (win == C.C_SKIP)
+    is16 = (win == C.C_P16x16) | (win == C.C_SKIP) | (win == C.C_P16PMV)
     cand = is16 & (st.cbp == 0) & (st.ref_idx[0, y0, x0] == 0)
     if cand.any():
         sx, sy = pskip_grid(st)
@@ -189,7 +189,8 @@ def fill_p_mvd_skip(st, win, C):
         hit = np.zeros(n_mb, bool)
 
     geom_of = {
-        C.C_P16x16: 1, C.C_SKIP: 1, C.C_P16x8: 2, C.C_P8x16: 3, C.C_P8x8: 4,
+        C.C_P16x16: 1, C.C_SKIP: 1, C.C_P16PMV: 1, C.C_P16x8: 2,
+        C.C_P8x16: 3, C.C_P8x8: 4,
     }
     for code, gk in geom_of.items():
         mask = (win == code) & ~hit & ~st.is_intra.astype(bool)

@@ -42,8 +42,9 @@ from ..ops.deblock import ALPHA_TABLE, BETA_TABLE, CLIP_TAB
 PAD = MC.PAD
 
 # candidate mode indices (winner codes in the host interchange buffer)
-C_P16x16, C_P16x8, C_P8x16, C_P8x8, C_SKIP, C_I16 = 0, 1, 2, 3, 4, 5
-C_I4 = 6  # intra 4x4 (decided in the commit scan, I16 vs I4)
+C_P16x16, C_P16x8, C_P8x16, C_P8x8, C_SKIP, C_P16PMV = 0, 1, 2, 3, 4, 5
+C_I16 = 6
+C_I4 = 7  # intra 4x4 (decided in the commit scan, I16 vs I4)
 # B-pipeline winner codes (separate table; B candidate set)
 B_DIRECT, B_L0, B_L1, B_BI, B_I16, B_L0_16x8, B_L0_8x16 = 0, 1, 2, 3, 4, 5, 6
 B_I4 = 8
@@ -143,11 +144,12 @@ def _mc_luma_unit(banks, r, mvx, mvy, y0, x0, h: int, w: int):
     return (a + b + 1) >> 1
 
 
-def _mc_chroma_unit(cpads, r, mvx, mvy, yc, xc, h: int, w: int):
+def _mc_chroma_unit(cpads, r, mvx, mvy, yc, xc, h: int, w: int,
+                    pad: int = PAD):
     """1/8-pel bilinear chroma MC of one (h, w) chroma unit for both
     planes; cpads: (NR, 2, Hcp, Wcp)."""
-    yi = yc + (mvy >> 3) + PAD
-    xi = xc + (mvx >> 3) + PAD
+    yi = yc + (mvy >> 3) + pad
+    xi = xc + (mvx >> 3) + pad
     fx = mvx & 7
     fy = mvy & 7
     A = jax.lax.dynamic_slice(cpads, (r, 0, yi, xi), (1, 2, h + 1, w + 1))[0]
@@ -274,13 +276,14 @@ def _wp_affine(x, w, o):
 
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "R", "stage", "use_wp",
-                                    "use_refresh", "use_drift"))
+                                    "use_refresh", "use_drift", "use_cme"))
 def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
                   H: int, W: int, R: int, qp: int, qp_c: int,
                   lam: int, lam_me: int, stage: int = 9, nref=None,
                   wp_w=None, wp_o=None, use_wp: bool = False,
                   force_intra=None, use_refresh: bool = False,
-                  drift_pen=None, use_drift: bool = False):
+                  drift_pen=None, use_drift: bool = False,
+                  use_cme: bool = False):
     """Whole-frame RD P encode. banks: (NR, 4, Hp, Wp); cpads:
     (NR, 2, Hcp, Wcp).  lam/lam_me: lambda_mode / lambda_me << 16.
 
@@ -298,15 +301,72 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     n_my, n_mx = H // 16, W // 16
     n_mb = n_my * n_mx
     D = 2 * R + 1
+    # ---- 0. coarse-to-fine motion search (use_cme) ---------------------
+    # The dense SSD grids cover mv = center ± R per (ref, MB).  Without
+    # centering (the reference's me_fullfast.c searches ±R around the MB
+    # origin), multi-reference motion — up to nref x the per-frame pan —
+    # is unreachable.  A 4x-decimated wide SAD search (±48 full-pel)
+    # picks the center; widening the banks by edge replication is EXACT
+    # (the outer PAD ring of every sub-pel plane is already constant), so
+    # sub-pel interpolation is not redone.
+    if use_cme:
+        E = 64
+        PADW = PAD + E
+        banks_f = jnp.pad(banks, ((0, 0), (0, 0), (E, E), (E, E)),
+                          mode="edge")
+        cpads_f = jnp.pad(cpads, ((0, 0), (0, 0), (E, E), (E, E)),
+                          mode="edge")
+    else:
+        PADW = PAD
+        banks_f = banks
+        cpads_f = cpads
     if use_wp:
         # full-pel search runs against the WEIGHTED reference plane so
         # the SSD grids measure the true (post-WP) residual energy
         # (lencod/src/weighted_prediction.c:30 DC-ratio estimation;
         # weights are per-reference, luma only — JM P defaults)
-        search0 = _wp_affine(banks[:, 0], wp_w[:, None, None],
+        search0 = _wp_affine(banks_f[:, 0], wp_w[:, None, None],
                              wp_o[:, None, None])
     else:
-        search0 = banks[:, 0]
+        search0 = banks_f[:, 0]
+
+    # per-(ref, MB) search centers, full-pel (zero without use_cme)
+    if use_cme:
+        RC = 12  # coarse range in 4-pel units -> ±48 full-pel
+        DCo = 2 * RC + 1
+        PADL = PADW // 4
+        Hl = (H + 2 * PADW) // 4
+        Wl = (W + 2 * PADW) // 4
+        ref_l = search0.reshape(NR, Hl, 4, Wl, 4).sum((2, 4))
+        cur_l = cur_y.reshape(H // 4, 4, W // 4, 4).sum((1, 3))
+        curmb_l = (cur_l.reshape(n_my, 4, n_mx, 4).transpose(0, 2, 1, 3)
+                   .reshape(n_mb, 4, 4))
+        mbl_ys = (jnp.arange(n_mb) // n_mx) * 4
+        mbl_xs = (jnp.arange(n_mb) % n_mx) * 4
+        coff = jnp.arange(-RC, RC + 1) * 16  # qpel value of each offset
+        cbits = _mv_bits(coff)[None, :] + _mv_bits(coff)[:, None]
+
+        def coarse_block(r, i):
+            win = jax.lax.dynamic_slice(
+                ref_l[r], (mbl_ys[i] - RC + PADL, mbl_xs[i] - RC + PADL),
+                (DCo + 3, DCo + 3))
+            cb = curmb_l[i]
+            acc = jnp.zeros((DCo, DCo), jnp.int32)
+            for a in range(4):
+                for b in range(4):
+                    acc = acc + jnp.abs(jax.lax.dynamic_slice(
+                        win, (a, b), (DCo, DCo)) - cb[a, b])
+            k = jnp.argmin((acc + _lam_cost(lam_me, cbits)).reshape(-1))
+            return ((k % DCo) - RC) * 4, ((k // DCo) - RC) * 4
+
+        ccx, ccy = jax.vmap(lambda r: jax.vmap(
+            lambda i: coarse_block(r, i))(jnp.arange(n_mb)))(
+            jnp.arange(NR))
+        cen_x = ccx.reshape(NR, n_my, n_mx).astype(jnp.int32)
+        cen_y = ccy.reshape(NR, n_my, n_mx).astype(jnp.int32)
+    else:
+        cen_x = jnp.zeros((NR, n_my, n_mx), jnp.int32)
+        cen_y = jnp.zeros((NR, n_my, n_mx), jnp.int32)
 
     # ---- 1. per-8x8 SSD windows per reference --------------------------
     nby, nbx = H // 8, W // 8
@@ -317,11 +377,16 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     b8_ys = (jnp.arange(n_b8) // nbx) * 8
     b8_xs = (jnp.arange(n_b8) % nbx) * 8
     Wn = 2 * R + 8
+    # each 8x8 block searches around ITS MB's center for that ref
+    cen8_x = (cen_x.reshape(NR, n_my, 1, n_mx, 1)
+              .repeat(2, 2).repeat(2, 4).reshape(NR, n_b8))
+    cen8_y = (cen_y.reshape(NR, n_my, 1, n_mx, 1)
+              .repeat(2, 2).repeat(2, 4).reshape(NR, n_b8))
 
-    def block_ssd(ref_pad, bi):
-        y0, x0 = b8_ys[bi], b8_xs[bi]
+    def block_ssd(ref_pad, bi, cy0, cx0):
+        y0, x0 = b8_ys[bi] + cy0, b8_xs[bi] + cx0
         win = jax.lax.dynamic_slice(
-            ref_pad, (y0 - R + PAD, x0 - R + PAD), (Wn, Wn))
+            ref_pad, (y0 - R + PADW, x0 - R + PADW), (Wn, Wn))
         # cross-correlation: 64 shifted multiply-adds (local, exact int32)
         cross = jnp.zeros((D, D), jnp.int32)
         cb = cur8[bi]
@@ -337,9 +402,9 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         return r2 - 2 * cross + cur2[bi]
 
     ssd8 = jax.vmap(
-        lambda r: jax.vmap(lambda b: block_ssd(search0[r], b))(
-            jnp.arange(n_b8))
-    )(jnp.arange(NR))  # (NR, n_b8, D, D)
+        lambda r: jax.vmap(lambda b: block_ssd(
+            search0[r], b, cen8_y[r, b], cen8_x[r, b]))(jnp.arange(n_b8))
+    )(jnp.arange(NR))  # (NR, n_b8, D, D); cell (i,j) is mv = cen + (j,i)-R
     ssd8 = ssd8.reshape(NR, n_my, 2, n_mx, 2, D, D)
     if stage == 1:
         return ssd8.sum(), None, None
@@ -351,11 +416,12 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
 
     # ---- 3. approximate PMV field --------------------------------------
     dgrid = jnp.arange(-R, R + 1) * 4
-    zb = _mv_bits(dgrid)[None, :] + _mv_bits(dgrid)[:, None]  # (D, D)
+    zb = (_mv_bits(cen_x[0][..., None] * 4 + dgrid)[:, :, None, :]
+          + _mv_bits(cen_y[0][..., None] * 4 + dgrid)[:, :, :, None])
     c0 = ssd16[0] + _lam_cost(lam_me, zb)
     bi0 = jnp.argmin(c0.reshape(n_my, n_mx, -1), axis=-1)
-    pm_x = (bi0 % D - R) * 4
-    pm_y = (bi0 // D - R) * 4
+    pm_x = (bi0 % D - R + cen_x[0]) * 4
+    pm_y = (bi0 // D - R + cen_y[0]) * 4
 
     def med_neighbors(f):
         a = jnp.pad(f, ((0, 0), (1, 0)))[:, :-1]          # left
@@ -367,10 +433,13 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     pmvy = med_neighbors(pm_y)
 
     def mvbits_grid(px, py):
-        """MV-rate around the PMV field: (n_my, n_mx, D, D)."""
-        bits_x = _mv_bits(dgrid[None, None, :] - px[..., None])
-        bits_y = _mv_bits(dgrid[None, None, :] - py[..., None])
-        return bits_x[:, :, None, :] + bits_y[:, :, :, None]
+        """MV-rate around the PMV field: (NR, n_my, n_mx, D, D) — grid
+        cell (i, j) of ref r holds mv = cen[r] + (j, i) - R."""
+        gx = cen_x[..., None] * 4 + dgrid[None, None, None, :]
+        gy = cen_y[..., None] * 4 + dgrid[None, None, None, :]
+        bits_x = _mv_bits(gx - px[None, ..., None])
+        bits_y = _mv_bits(gy - py[None, ..., None])
+        return bits_x[:, :, :, None, :] + bits_y[:, :, :, :, None]
 
     mvbits = mvbits_grid(pmvx, pmvy)
     # reference-index rate (te(v) length against NR refs)
@@ -385,7 +454,7 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
 
     def part_argmin(grids, mvb):
         """grids: (NR, n_my, n_mx, D, D) -> (ref, imvx, imvy) per MB."""
-        cost = grids + _lam_cost(lam_me, mvb)[None]
+        cost = grids + _lam_cost(lam_me, mvb)
         cost = cost + (_lam_cost(lam_me, rbits) + ref_pen)[
             :, None, None, None, None]
         flat = cost.reshape(NR, n_my, n_mx, -1)
@@ -393,9 +462,11 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         per_ref_i = jnp.argmin(flat, axis=-1)
         ref = jnp.argmin(per_ref, axis=0)
         idx = jnp.take_along_axis(per_ref_i, ref[None], axis=0)[0]
+        cxs = jnp.take_along_axis(cen_x, ref[None], axis=0)[0]
+        cys = jnp.take_along_axis(cen_y, ref[None], axis=0)[0]
         return (ref.astype(jnp.int32),
-                (idx % D - R).astype(jnp.int32),
-                (idx // D - R).astype(jnp.int32))
+                (idx % D - R + cxs).astype(jnp.int32),
+                (idx // D - R + cys).astype(jnp.int32))
 
     r16, x16, y16 = part_argmin(ssd16, mvbits)
     # second-pass PMV: the refined-quality predictor field comes from the
@@ -434,10 +505,10 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         static, so all samples are static slices of the (4, h+3, w+3)
         window."""
         orig = jax.lax.dynamic_slice(cur_y, (y0, x0), (h, w))
-        iy = y0 + imvy + PAD - 1
-        ix = x0 + imvx + PAD - 1
+        iy = y0 + imvy + PADW - 1
+        ix = x0 + imvx + PADW - 1
         wins = jax.lax.dynamic_slice(
-            banks, (ref, 0, iy, ix), (1, 4, h + 3, w + 3))[0]
+            banks_f, (ref, 0, iy, ix), (1, 4, h + 3, w + 3))[0]
         base_x = imvx * 4
         base_y = imvy * 4
         preds = []
@@ -560,9 +631,9 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     # MC per MB (window gather + 16 static fraction variants + select).
     def skip_pred(i):
         mvx, mvy = pskx[i], psky[i]
-        iy = mb_ys[i] + (mvy >> 2) + PAD
-        ix = mb_xs[i] + (mvx >> 2) + PAD
-        wins = jax.lax.dynamic_slice(banks, (jnp.int32(0), 0, iy, ix),
+        iy = mb_ys[i] + (mvy >> 2) + PADW
+        ix = mb_xs[i] + (mvx >> 2) + PADW
+        wins = jax.lax.dynamic_slice(banks_f, (jnp.int32(0), 0, iy, ix),
                                      (1, 4, 18, 18))[0]
         f = (mvy & 3) * 4 + (mvx & 3)
         variants = []
@@ -615,21 +686,47 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     mvb = (_mv_bits(mv8x - pmvx_f[None, :, None])
            + _mv_bits(mv8y - pmvy_f[None, :, None]))  # (NC, n_mb, 4)
     refb = rbits[ref8]
-    hdr = jnp.asarray([1, 3, 3, 9, 0], jnp.int32)
-    nuniq = jnp.asarray([1, 2, 2, 4, 0], jnp.int32)  # transmitted units
-    # per-cand motion bits: 16x16 uses b8 0; 16x8 b8 {0,2}; 8x16 {0,1}
+    hdr = jnp.asarray([1, 3, 3, 7, 0], jnp.int32)
+    # per-cand motion bits: the FIRST unit prices its mvd against the
+    # MB-level PMV; later units against their in-MB predictor chain
+    # (spec §8.4.1.3: 16x8 bottom predicts from the top partition, 8x16
+    # right from C/left, P8x8 units from earlier units) — pricing every
+    # unit against the same MB PMV overcharges coherent sub-fields and
+    # pushed the selection toward scattered large partitions.
     sel = jnp.asarray([
         [1, 0, 0, 0], [1, 0, 1, 0], [1, 1, 0, 0], [1, 1, 1, 1],
         [0, 0, 0, 0]], jnp.int32)
-    R_inter = hdr[:, None] + ((mvb + refb) * sel[:, None, :]).sum(-1)
+
+    def chain(c, a, b):
+        return (_mv_bits(mv8x[c, :, a] - mv8x[c, :, b])
+                + _mv_bits(mv8y[c, :, a] - mv8y[c, :, b]))
+
+    mot = jnp.stack([
+        mvb[0, :, 0],
+        mvb[1, :, 0] + chain(1, 2, 0),
+        mvb[2, :, 0] + chain(2, 1, 0),
+        mvb[3, :, 0] + chain(3, 1, 0) + chain(3, 2, 0) + chain(3, 3, 1),
+        jnp.zeros((n_mb,), jnp.int32),
+    ])
+    R_inter = hdr[:, None] + mot + (refb * sel[:, None, :]).sum(-1)
     R_inter = R_inter + cb_i
     J_inter = D_i + _lam_cost(lam, R_inter)
     J_skip = D_skip  # rate ~ 0
     J_inter = J_inter.at[4].set(J_skip)
+    # P16x16-at-PMV candidate: the skip PREDICTION with residual coding
+    # (mvd ~ 0, motion nearly free) — shares the skip slot's tq_recon
+    # outputs.  The coherent-field dual of the reference's trial-encoded
+    # skip/16x16 boundary (rdopt.c RDCost_for_macroblocks): grid searches
+    # over-scatter on noisy content; this candidate re-anchors the field
+    # on the median-PMV chain whenever residual coding beats scatter.
+    R_pmv = (1 + rbits[0] + _mv_bits(pskx - pmvx_f)
+             + _mv_bits(psky - pmvy_f) + cb_i[4])
+    J_pmv = D_i[4] + _lam_cost(lam, R_pmv)
     if use_drift:
         # loss-aware RDO: expected drift distortion of inter prediction
         # under simulated losses (md_highloss.c via encoder/lossaware.py)
         J_inter = J_inter + drift_pen[None, :]
+        J_pmv = J_pmv + drift_pen
 
     # ---- I16 candidate (orig-neighbor approximation for the decision) --
     up_rows = jnp.pad(cur_y, ((1, 0), (0, 0)))[:-1]  # row above each pixel
@@ -648,12 +745,13 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     lev16, dc16, rec16, D_16, cb16 = _i16_tq(i16p, orig_mb, qp)
     J_i16 = D_16 + _lam_cost(lam, cb16 + 8)
 
-    J_all = jnp.concatenate([J_inter, J_i16[None]], 0)  # (6, n_mb)
+    J_all = jnp.concatenate(
+        [J_inter, J_pmv[None], J_i16[None]], 0)  # (7, n_mb)
     if use_refresh:
         # forced intra refresh (lencod/src/intrarefresh.c:97 RandomIntra):
         # scheduled MBs must code intra regardless of cost
         J_all = jnp.where(
-            force_intra[None, :] & (jnp.arange(6)[:, None] < 5),
+            force_intra[None, :] & (jnp.arange(7)[:, None] < C_I16),
             jnp.int32(1 << 29), J_all)
     win = jnp.argmin(J_all, axis=0).astype(jnp.int32)
     if stage == 4:
@@ -680,9 +778,9 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         blocks = []
         for b8 in range(4):
             blocks.append(_mc_chroma_unit(
-                cpads, w_ref8[i, b8], w_mv8x[i, b8], w_mv8y[i, b8],
+                cpads_f, w_ref8[i, b8], w_mv8x[i, b8], w_mv8y[i, b8],
                 (mb_ys[i] >> 1) + (b8oy[b8] >> 1),
-                (mb_xs[i] >> 1) + (b8ox[b8] >> 1), 4, 4))
+                (mb_xs[i] >> 1) + (b8ox[b8] >> 1), 4, 4, pad=PADW))
         top = jnp.concatenate(blocks[:2], axis=2)
         bot = jnp.concatenate(blocks[2:], axis=2)
         return jnp.concatenate([top, bot], axis=1)  # (2, 8, 8)
@@ -1702,7 +1800,13 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
     pred_bi = (pred0 + pred1 + 1) >> 1
     orig_mb = (cur_y.reshape(n_my, 16, n_mx, 16).transpose(0, 2, 1, 3)
                .reshape(n_mb, 16, 16))
-    preds = jnp.stack([pred_dir, pred0, pred1, pred_bi])  # cands 0..3
+    # L0-at-PMV candidate (see the P pipeline's C_P16PMV): 16x16 list-0
+    # prediction at the median-PMV chain, mvd ~ 0
+    pred_pm = jax.vmap(lambda i: _dynfrac_mc(
+        banks0, jnp.int32(0), pmvx_f[i], pmvy_f[i],
+        mb_ys[i], mb_xs[i], 16, 16))(jnp.arange(n_mb))
+    preds = jnp.stack(
+        [pred_dir, pred0, pred1, pred_bi, pred_pm])  # cands 0..4
 
     off_inter = jnp.int32(Q.default_offset4(qp, False))
 
@@ -1724,11 +1828,13 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
     mvb1 = _mv_bits(mv1x - pmvx_f) + _mv_bits(mv1y - pmvy_f)
     refb0 = jnp.where(jnp.int32(NR0 > 1),
                       jnp.where(ref0 == 0, 1, 2 * _bitlen(ref0 + 1) - 1), 0)
+    refb_pm = jnp.where(jnp.int32(NR0 > 1), 1, 0)
     R_c = jnp.stack([
         jnp.full((n_mb,), 1, jnp.int32),
         3 + mvb0 + refb0,
         3 + mvb1,
         5 + mvb0 + refb0 + mvb1,
+        jnp.full((n_mb,), 5, jnp.int32) + refb_pm,
     ])
     J_inter = D_i + _lam_cost(lam, R_c + cb_i)
     # direct-zero (B skip) candidate
@@ -1753,20 +1859,26 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
     lev16, dc16, rec16, D_16, cb16 = _i16_tq(i16p, orig_mb, qp)
     J_i16 = D_16 + _lam_cost(lam, cb16 + 11)
 
-    # winner: order [DIRECT, L0, L1, BI, I16, DIRECT_ZERO]
+    # winner: order [DIRECT, L0, L1, BI, L0@PMV, I16, DIRECT_ZERO]
     J_all = jnp.concatenate([J_inter, J_i16[None], J_dz[None]], 0)
     if make_ref:
         # stored-reference Bs never use direct modes: their motion must
         # stay mappable into the leaf Bs' lists for temporal direct, so
         # it may only reference this picture's own (prefix) lists
         BIGJ = jnp.int32(1 << 29)
-        J_all = J_all.at[0].set(BIGJ).at[5].set(BIGJ)
+        J_all = J_all.at[0].set(BIGJ).at[6].set(BIGJ)
     win6 = jnp.argmin(J_all, axis=0).astype(jnp.int32)
-    win = jnp.where(win6 == 5, B_DIRECT_ZERO,
-                    jnp.where(win6 == 4, B_I16, win6))
+    is_pm = win6 == 4
+    win = jnp.where(win6 == 6, B_DIRECT_ZERO,
+                    jnp.where(win6 == 5, B_I16,
+                              jnp.where(is_pm, B_L0, win6)))
+    # the PMV winner is a plain L0 16x16 with mv = PMV, ref 0
+    ref0 = jnp.where(is_pm, 0, ref0)
+    mv0x = jnp.where(is_pm, pmvx_f, mv0x)
+    mv0y = jnp.where(is_pm, pmvy_f, mv0y)
     is_intra = win == B_I16
     is_dz = win == B_DIRECT_ZERO
-    win_i = jnp.where(is_dz, 0, jnp.minimum(win6, 3))
+    win_i = jnp.where(is_dz, 0, jnp.minimum(win6, 4))
     take = lambda arr, w: jnp.take_along_axis(
         arr, w.reshape((1, n_mb) + (1,) * (arr.ndim - 2)), axis=0)[0]
     w_lev = take(lev_i, win_i)
