@@ -656,7 +656,8 @@ class H264Decoder:
             from ..native import recon_picture as native_recon
 
             native_done = native_recon(
-                state, sps, pps, planes, slice_info, slice_refs, slice_wp)
+                state, sps, pps, planes, slice_info, slice_refs, slice_wp,
+                deblock=True)
         if not native_done and sh0.slice_type != SliceType.I:
             derive_mvs(state, state.slice_id, slice_info)
 
@@ -689,7 +690,8 @@ class H264Decoder:
                 if inter_done is not None and inter_done[addr]:
                     continue
                 recon.recon_mb(addr)
-        deblock_picture(state, sps, planes)
+        if native_done != 2:  # 2 = the fused native call already filtered
+            deblock_picture(state, sps, planes)
         if n_missing:
             from .erc import conceal_missing
 

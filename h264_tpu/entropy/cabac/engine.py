@@ -151,6 +151,37 @@ for _name, (_rows, _cols) in _GROUP_SHAPES.items():
     _TOTAL_CTX += _rows * _cols
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _ctx_init(slice_is_intra: bool, model: int, qp: int):
+    """Initialized (states, mps) byte images for one (slice class,
+    model, qp) — a pure function of its arguments, so slices reuse the
+    cached image instead of re-deriving ~1k contexts (spec §9.3.1.1)."""
+    init = INIT_I if slice_is_intra else INIT_P
+    states = bytearray(_TOTAL_CTX)
+    mps = bytearray(_TOTAL_CTX)
+    for name, (rows, cols) in _GROUP_SHAPES.items():
+        tab = init[name][model]
+        base = _GROUP_BASES[name]
+        for r in range(rows):
+            for c in range(cols):
+                m, n = int(tab[r][c][0]), int(tab[r][c][1])
+                pstate = ((m * max(0, qp)) >> 4) + n
+                pstate = max(1, min(126, pstate))
+                if pstate >= 64:
+                    states[base + r * cols + c] = pstate - 64
+                    mps[base + r * cols + c] = 1
+                else:
+                    states[base + r * cols + c] = 63 - pstate
+                    mps[base + r * cols + c] = 0
+    return bytes(states), bytes(mps)
+
+
+_NCOLS = {name: cols for name, (rows, cols) in _GROUP_SHAPES.items()}
+
+
 class ContextSet:
     """All CABAC contexts of one slice, initialized per spec §9.3.1.1.
 
@@ -163,26 +194,11 @@ class ContextSet:
     __slots__ = ("states", "mps", "ncols")
 
     def __init__(self, slice_is_intra: bool, model: int, qp: int):
-        init = INIT_I if slice_is_intra else INIT_P
-        model = 0 if slice_is_intra else model
-        self.states = bytearray(_TOTAL_CTX)
-        self.mps = bytearray(_TOTAL_CTX)
-        self.ncols = {}
-        for name, (rows, cols) in _GROUP_SHAPES.items():
-            tab = init[name][model]
-            base = _GROUP_BASES[name]
-            for r in range(rows):
-                for c in range(cols):
-                    m, n = int(tab[r][c][0]), int(tab[r][c][1])
-                    pstate = ((m * max(0, qp)) >> 4) + n
-                    pstate = max(1, min(126, pstate))
-                    if pstate >= 64:
-                        self.states[base + r * cols + c] = pstate - 64
-                        self.mps[base + r * cols + c] = 1
-                    else:
-                        self.states[base + r * cols + c] = 63 - pstate
-                        self.mps[base + r * cols + c] = 0
-            self.ncols[name] = cols
+        st, mp = _ctx_init(bool(slice_is_intra),
+                           0 if slice_is_intra else int(model), int(qp))
+        self.states = bytearray(st)
+        self.mps = bytearray(mp)
+        self.ncols = _NCOLS
 
     def group(self, name: str, row: int = 0):
         """(states, mps, base_index) triple for a sub-group row."""

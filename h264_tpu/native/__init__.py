@@ -14,20 +14,34 @@ _DIR = os.path.dirname(__file__)
 _libs: dict = {}
 
 
+# libs that link extra translation units (separate TUs: statics stay local)
+_EXTRA_SRC = {"recon": ["deblock.c"]}
+
+
 def _load(stem: str):
     """Build (if stale) and load lib<stem>.so from <stem>.c; None on failure."""
     if stem in _libs:
         return _libs[stem]
-    src = os.path.join(_DIR, stem + ".c")
+    srcs = [os.path.join(_DIR, stem + ".c")] + [
+        os.path.join(_DIR, x) for x in _EXTRA_SRC.get(stem, [])]
+    src = srcs[0]
     so = os.path.join(_DIR, f"lib{stem}.so")
     lib = None
     try:
-        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-            subprocess.run(
-                ["gcc", "-O3", "-shared", "-fPIC", "-o", so, src],
-                check=True,
-                capture_output=True,
-            )
+        if not os.path.exists(so) or any(
+                os.path.getmtime(so) < os.path.getmtime(s) for s in srcs):
+            # build to a private temp + atomic rename: concurrent
+            # processes never load a half-written .so
+            tmp = f"{so}.tmp{os.getpid()}"
+            args = ["gcc", "-O3", "-march=native", "-fno-math-errno",
+                    "-shared", "-fPIC", "-o", tmp] + srcs
+            r = subprocess.run(args, capture_output=True)
+            if r.returncode != 0:  # conservative fallback flags
+                subprocess.run(
+                    ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp] + srcs,
+                    check=True, capture_output=True,
+                )
+            os.replace(tmp, so)
         lib = ctypes.CDLL(so)
     except Exception:
         lib = None
@@ -137,6 +151,37 @@ def cavlc_write_slice(st, is_p: bool, n_ref: int, init_qp: int,
     if nbits < 0:
         return None
     return out.raw[: (nbits + 7) // 8], nbits
+
+
+def compute_strengths(st, field: bool, intra_types):
+    """Native boundary-strength precompute (deblock.c compute_strengths);
+    returns (BSV, BSH) or None when the lib is unavailable."""
+    lib = _load("deblock")
+    if lib is None:
+        return None
+    import numpy as np
+
+    H4, W4 = 4 * st.H, 4 * st.W
+    REF_NONE = -(10 ** 9)
+    is_intra_mb = np.ascontiguousarray(
+        np.isin(st.mb_type, intra_types), np.uint8)
+    cbp_blk = np.ascontiguousarray(np.asarray(st.cbp_blk, np.int64))
+    rid0 = np.ascontiguousarray(
+        np.where(st.ref_idx[0] >= 0, st.ref_pic_id[0], REF_NONE), np.int64)
+    rid1 = np.ascontiguousarray(
+        np.where(st.ref_idx[1] >= 0, st.ref_pic_id[1], REF_NONE), np.int64)
+    mv0 = np.ascontiguousarray(st.mv[0], np.int32)
+    mv1 = np.ascontiguousarray(st.mv[1], np.int32)
+    BSV = np.empty((H4, W4), np.int32)
+    BSH = np.empty((H4, W4), np.int32)
+
+    def p(x):
+        return x.ctypes.data_as(ctypes.c_void_p)
+
+    lib.compute_strengths(
+        p(is_intra_mb), p(cbp_blk), p(rid0), p(rid1), p(mv0), p(mv1),
+        st.W, st.H, int(bool(field)), p(BSV), p(BSH))
+    return BSV, BSH
 
 
 def deblock_run(Y, U, V, BSV, BSH, qp, qpc, lf_disable, lf_alpha, lf_beta,
@@ -397,12 +442,12 @@ def cabac_parse_slice(st, rbsp: bytes, sh, sps, pps, slice_id: int,
     st.lf_disable[mask] = sh.disable_deblocking_filter_idc
     st.lf_alpha[mask] = 2 * sh.slice_alpha_c0_offset_div2
     st.lf_beta[mask] = 2 * sh.slice_beta_offset_div2
-    from ..ops.exact import chroma_qp as _cqp
+    from ..ops.exact import chroma_qp_vec as _cqpv
 
     cb_off, cr_off = pps.chroma_qp_offset
     qps = np.asarray(st.qp)[mask]
-    st.qpc[mask, 0] = [_cqp(int(q), cb_off) for q in qps]
-    st.qpc[mask, 1] = [_cqp(int(q), cr_off) for q in qps]
+    st.qpc[mask, 0] = _cqpv(qps, cb_off)
+    st.qpc[mask, 1] = _cqpv(qps, cr_off)
     return int(n)
 
 
@@ -518,26 +563,31 @@ def cavlc_parse_slice(st, rbsp: bytes, sh, sps, pps, slice_id: int,
     st.lf_disable[mask] = sh.disable_deblocking_filter_idc
     st.lf_alpha[mask] = 2 * sh.slice_alpha_c0_offset_div2
     st.lf_beta[mask] = 2 * sh.slice_beta_offset_div2
-    from ..ops.exact import chroma_qp as _cqp
+    from ..ops.exact import chroma_qp_vec as _cqpv
 
     cb_off, cr_off = pps.chroma_qp_offset
     qps = np.asarray(st.qp)[mask]
-    st.qpc[mask, 0] = [_cqp(int(q), cb_off) for q in qps]
-    st.qpc[mask, 1] = [_cqp(int(q), cr_off) for q in qps]
+    st.qpc[mask, 0] = _cqpv(qps, cb_off)
+    st.qpc[mask, 1] = _cqpv(qps, cr_off)
     return int(n)
 
 
 _MAXREF = 32
 
 
+_recon_bufs: dict = {}
+
+
 def recon_picture(st, sps, pps, planes, slice_info, slice_refs, slice_wp,
-                  slice_cadj=None):
+                  slice_cadj=None, deblock=False):
     """Native full-picture reconstruction (MV derivation + MC + intra +
     residuals); the runtime dual of decoder/recon.py + decoder/mv.py.
 
-    Returns True when the picture was reconstructed (planes filled, st.mv
-    / st.ref_idx / st.ref_pic_id finalized); False -> caller uses the
-    Python oracle (unsupported features or native lib unavailable)."""
+    Returns truthy when the picture was reconstructed (planes filled,
+    st.mv / st.ref_idx / st.ref_pic_id finalized); False -> caller uses
+    the Python oracle.  With deblock=True the in-loop filter also runs
+    inside the same native call when possible — then the return value
+    is 2 and the caller must skip its own deblock pass."""
     lib = _load("recon")
     if lib is None:
         return False
@@ -571,31 +621,50 @@ def recon_picture(st, sps, pps, planes, slice_info, slice_refs, slice_wp,
         has_ws = 1
 
     W4, H4 = 4 * st.W, 4 * st.H
-    s_type = np.zeros(NS, np.int32)
-    s_spatial = np.zeros(NS, np.int32)
-    s_d8x8 = np.zeros(NS, np.int32)
-    s_nref = np.zeros((NS, 2), np.int32)
-    s_refids = np.zeros((NS, 2, _MAXREF), np.int64)
-    s_reflt = np.zeros((NS, 2, _MAXREF), np.uint8)
-    s_curpoc = np.zeros(NS, np.int32)
-    s_colpoc = np.zeros(NS, np.int32)
-    s_has_col = np.zeros(NS, np.int32)
-    col_moving = np.zeros((NS, H4, W4), np.uint8)
-    col_ref0 = np.full((NS, H4, W4), -1, np.int8)
-    col_ref1 = np.full((NS, H4, W4), -1, np.int8)
-    col_id0 = np.zeros((NS, H4, W4), np.int64)
-    col_id1 = np.zeros((NS, H4, W4), np.int64)
-    col_mv0 = np.zeros((NS, H4, W4, 2), np.int32)
-    col_mv1 = np.zeros((NS, H4, W4, 2), np.int32)
-    wp_mode = np.zeros(NS, np.int32)
-    wp_ly = np.full(NS, 5, np.int32)
-    wp_lc = np.full(NS, 5, np.int32)
-    wy = np.ones((NS, 2, _MAXREF), np.int32) * 32
-    oyt = np.zeros((NS, 2, _MAXREF), np.int32)
-    wct = np.ones((NS, 2, _MAXREF, 2), np.int32) * 32
-    oct_ = np.zeros((NS, 2, _MAXREF, 2), np.int32)
-    wimp = np.full((NS, _MAXREF, _MAXREF, 2), 32, np.int32)
-    cadj = np.zeros((NS, 2, _MAXREF), np.int32)
+    any_col = any(info.get("col") is not None for info in slice_info)
+
+    def _buf(key, shape, dtype, fill):
+        """Pooled staging buffer (these are rebuilt every picture; the
+        pool removes ~2 MB/picture of allocation churn).  fill=None
+        leaves contents undefined — callers must overwrite or gate the
+        native read (s_has_col)."""
+        arr = _recon_bufs.get(key)
+        if arr is None or arr.shape != shape or arr.dtype != np.dtype(
+                dtype):
+            arr = np.empty(shape, dtype)
+            _recon_bufs[key] = arr
+        if fill is not None:
+            arr.fill(fill)
+        return arr
+
+    s_type = _buf("s_type", (NS,), np.int32, 0)
+    s_spatial = _buf("s_spatial", (NS,), np.int32, 0)
+    s_d8x8 = _buf("s_d8x8", (NS,), np.int32, 0)
+    s_nref = _buf("s_nref", (NS, 2), np.int32, 0)
+    s_refids = _buf("s_refids", (NS, 2, _MAXREF), np.int64, 0)
+    s_reflt = _buf("s_reflt", (NS, 2, _MAXREF), np.uint8, 0)
+    s_curpoc = _buf("s_curpoc", (NS,), np.int32, 0)
+    s_colpoc = _buf("s_colpoc", (NS,), np.int32, 0)
+    s_has_col = _buf("s_has_col", (NS,), np.int32, 0)
+    cfill = 0 if any_col else None  # unread when s_has_col == 0
+    col_moving = _buf("col_moving", (NS, H4, W4), np.uint8, cfill)
+    col_ref0 = _buf("col_ref0", (NS, H4, W4), np.int8,
+                    -1 if any_col else None)
+    col_ref1 = _buf("col_ref1", (NS, H4, W4), np.int8,
+                    -1 if any_col else None)
+    col_id0 = _buf("col_id0", (NS, H4, W4), np.int64, cfill)
+    col_id1 = _buf("col_id1", (NS, H4, W4), np.int64, cfill)
+    col_mv0 = _buf("col_mv0", (NS, H4, W4, 2), np.int32, cfill)
+    col_mv1 = _buf("col_mv1", (NS, H4, W4, 2), np.int32, cfill)
+    wp_mode = _buf("wp_mode", (NS,), np.int32, 0)
+    wp_ly = _buf("wp_ly", (NS,), np.int32, 5)
+    wp_lc = _buf("wp_lc", (NS,), np.int32, 5)
+    wy = _buf("wy", (NS, 2, _MAXREF), np.int32, 32)
+    oyt = _buf("oyt", (NS, 2, _MAXREF), np.int32, 0)
+    wct = _buf("wct", (NS, 2, _MAXREF, 2), np.int32, 32)
+    oct_ = _buf("oct_", (NS, 2, _MAXREF, 2), np.int32, 0)
+    wimp = _buf("wimp", (NS, _MAXREF, _MAXREF, 2), np.int32, 32)
+    cadj = _buf("cadj", (NS, 2, _MAXREF), np.int32, 0)
     if slice_cadj is not None:
         for sid, lsts in enumerate(slice_cadj):
             for lst in (0, 1):
@@ -663,7 +732,9 @@ def recon_picture(st, sps, pps, planes, slice_info, slice_refs, slice_wp,
 
     if not getattr(lib, "_recon_sigs", False):
         lib.recon_picture.restype = ctypes.c_long
+        lib.recon_and_deblock.restype = ctypes.c_long
         lib._recon_sigs = True
+    fused = deblock and not getattr(sps, "is_field_picture", False)
 
     def a(x, dtype):
         arr = np.ascontiguousarray(x, dtype)
@@ -681,7 +752,7 @@ def recon_picture(st, sps, pps, planes, slice_info, slice_refs, slice_wp,
     Yp = a(planes.Y, np.int32)
     Up = a(planes.U, np.int32)
     Vp = a(planes.V, np.int32)
-    rc = lib.recon_picture(
+    args = (
         st.W, st.H, sps.width, sps.height, PAD,
         int(bool(pps.constrained_intra_pred_flag)),
         p(a(st.slice_id, np.int32)), p(a(st.mb_type, np.int32)),
@@ -704,6 +775,14 @@ def recon_picture(st, sps, pps, planes, slice_info, slice_refs, slice_wp,
         p(wy), p(oyt), p(wct), p(oct_),
         p(wimp), refY, refU, refV, p(ws4), p(ws8), has_ws,
     )
+    if fused:
+        cbp_blk = a(np.asarray(st.cbp_blk, np.int64), np.int64)
+        rc = lib.recon_and_deblock(
+            *args, p(cbp_blk), p(a(st.lf_disable, np.int32)),
+            p(a(st.lf_alpha, np.int32)), p(a(st.lf_beta, np.int32)),
+            int(sps.chroma_format_idc))
+    else:
+        rc = lib.recon_picture(*args)
     if rc != 0:
         return False
     # write back the arrays that used staging copies
@@ -712,7 +791,7 @@ def recon_picture(st, sps, pps, planes, slice_info, slice_refs, slice_wp,
                      (Up, planes.U), (Vp, planes.V)):
         if src is not dst:
             np.copyto(dst, src)
-    return True
+    return 2 if fused else True
 
 
 def cabac_encode_run(kinds: bytes, ctx_idx, bins: bytes, states: bytearray,

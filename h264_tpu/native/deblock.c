@@ -223,3 +223,61 @@ void deblock_run(int32_t *Y, int32_t *U, int32_t *V, int W_pix, int H_pix,
         }
     }
 }
+
+/* Boundary-strength precomputation (spec 8.7 bS derivation), the C dual
+ * of ops/deblock.py:_precompute_strengths (frame, non-MBAFF).
+ * is_intra: [H][W] u8 per MB; cbp_blk: [H*W] i64 (bit per 4x4 block);
+ * rid0/rid1: [H4*W4] i64 ref-pic ids (REF_NONE for unused);
+ * mv0/mv1: [H4*W4*2] i32; BSV/BSH out: [H4*W4] i32.
+ * field: halves the vertical-mv threshold and weakens horizontal
+ * intra MB edges to bS 3 (loopFilter.c mvlimit). */
+void compute_strengths(const uint8_t *is_intra, const int64_t *cbp_blk,
+                       const int64_t *rid0, const int64_t *rid1,
+                       const int32_t *mv0, const int32_t *mv1,
+                       int W, int H, int field,
+                       int32_t *BSV, int32_t *BSH) {
+    int W4 = 4 * W, H4 = 4 * H;
+    int mvlim_y = field ? 2 : 4;
+    int strong_h = field ? 3 : 4;
+    for (long i = 0; i < (long)W4 * H4; i++) { BSV[i] = 0; BSH[i] = 0; }
+    for (int y = 0; y < H4; y++) {
+        for (int x = 0; x < W4; x++) {
+            long q = (long)y * W4 + x;
+            int mbq = (y >> 2) * W + (x >> 2);
+            int iq = is_intra[mbq];
+            int cq = (cbp_blk[mbq] >> (((y & 3) << 2) | (x & 3))) & 1;
+            for (int dir = 0; dir < 2; dir++) {
+                int xp = dir ? x : x - 1;
+                int yp = dir ? y - 1 : y;
+                if (xp < 0 || yp < 0) continue;
+                long p = (long)yp * W4 + xp;
+                int mbp = (yp >> 2) * W + (xp >> 2);
+                int32_t *out = dir ? BSH + q : BSV + q;
+                int ip = is_intra[mbp];
+                if (iq | ip) {
+                    int mb_edge = dir ? (y & 3) == 0 : (x & 3) == 0;
+                    *out = mb_edge ? (dir ? strong_h : 4) : 3;
+                    continue;
+                }
+                int cp = (cbp_blk[mbp] >> (((yp & 3) << 2) | (xp & 3))) & 1;
+                if (cq | cp) { *out = 2; continue; }
+                int64_t rq0 = rid0[q], rq1 = rid1[q];
+                int64_t rp0 = rid0[p], rp1 = rid1[p];
+                int same = (rq0 == rp0 && rq1 == rp1) ||
+                           (rq0 == rp1 && rq1 == rp0);
+                if (!same) { *out = 1; continue; }
+                const int32_t *q0 = mv0 + 2 * q, *q1 = mv1 + 2 * q;
+                const int32_t *p0 = mv0 + 2 * p, *p1 = mv1 + 2 * p;
+#define MVDIFF(a, b) \
+    (iabs((a)[0] - (b)[0]) >= 4 || iabs((a)[1] - (b)[1]) >= mvlim_y)
+                int straight = MVDIFF(q0, p0) || MVDIFF(q1, p1);
+                int crossed = MVDIFF(q0, p1) || MVDIFF(q1, p0);
+#undef MVDIFF
+                int bs;
+                if (rq0 != rq1) bs = (rq0 == rp0) ? straight : crossed;
+                else bs = straight && crossed;
+                *out = bs;
+            }
+        }
+    }
+}

@@ -19,6 +19,7 @@
 #include <stdint.h>
 #include <stddef.h>
 #include <string.h>
+#include <stdlib.h>
 
 #define MAXREF 32
 #define NONE_ID (-(int64_t)1000000000)
@@ -1409,5 +1410,85 @@ long recon_picture(
     if (c->slice_id[addr] < 0) return -1;  /* missing MBs: oracle/ERC */
     if (recon_one_mb(c, addr) < 0) return -1;
   }
+  return 0;
+}
+
+/* ---- fused recon + deblock ------------------------------------------- */
+/* deblock.c entry points (deblock.c is linked into librecon.so) */
+void compute_strengths(const uint8_t *is_intra, const int64_t *cbp_blk,
+                       const int64_t *rid0, const int64_t *rid1,
+                       const int32_t *mv0, const int32_t *mv1,
+                       int W, int H, int field,
+                       int32_t *BSV, int32_t *BSH);
+void deblock_run(int32_t *Y, int32_t *U, int32_t *V, int W_pix, int H_pix,
+                 int n_mbW, int n_mbH, const int32_t *BSV, const int32_t *BSH,
+                 const int32_t *qp, const int32_t *qpc,
+                 const int32_t *lf_disable, const int32_t *lf_alpha,
+                 const int32_t *lf_beta, const int32_t *transform8x8,
+                 const int32_t *slice_id, int cfi, int32_t max_y,
+                 int32_t max_c);
+
+/* recon_picture, then boundary strengths + in-loop filter in the same
+ * call (one marshalling pass per picture; ldecod does the same inline —
+ * image.c decode_one_frame tail).  Frame pictures, 4:2:0/mono, 8-bit. */
+long recon_and_deblock(
+    int W, int H, int width, int height, int pad, int cip,
+    const int32_t *slice_id_a, const int32_t *mb_type_a,
+    const uint8_t *is_intra_a, const uint8_t *skip_flag_a,
+    const uint8_t *t8_a, const int32_t *qp_a, const int32_t *qpc_a,
+    const int32_t *i16mode_a, const int32_t *cipm_a,
+    const int32_t *b8mode_a, const int32_t *b8pdir_a,
+    const int8_t *ipredmode_a, const int32_t *mvd_a,
+    int8_t *ref_idx_a, int32_t *mv_a, int64_t *ref_pic_id_a,
+    const int32_t *luma_levels_a, const int32_t *luma8_levels_a,
+    const int32_t *luma_dc_a, const int32_t *chroma_dc_a,
+    const int32_t *chroma_levels_a,
+    int32_t *Y, int32_t *U, int32_t *V,
+    int NS, const int32_t *s_type, const int32_t *s_spatial,
+    const int32_t *s_d8x8, const int32_t *s_nref,
+    const int64_t *s_refids, const uint8_t *s_reflt,
+    const int32_t *s_curpoc, const int32_t *s_colpoc,
+    const int32_t *s_has_col, const uint8_t *col_moving,
+    const int8_t *col_ref0, const int8_t *col_ref1,
+    const int64_t *col_id0, const int64_t *col_id1,
+    const int32_t *col_mv0, const int32_t *col_mv1,
+    const int32_t *wp_mode, const int32_t *wp_ly, const int32_t *wp_lc,
+    const int32_t *cadj,
+    const int32_t *wy, const int32_t *oy, const int32_t *wc,
+    const int32_t *oc, const int32_t *wimp,
+    int32_t *const *refY, int32_t *const *refU, int32_t *const *refV,
+    const int32_t *ws4, const int32_t *ws8, int has_ws,
+    const int64_t *cbp_blk, const int32_t *lf_disable,
+    const int32_t *lf_alpha, const int32_t *lf_beta, int cfi) {
+  long rc = recon_picture(
+      W, H, width, height, pad, cip, slice_id_a, mb_type_a, is_intra_a,
+      skip_flag_a, t8_a, qp_a, qpc_a, i16mode_a, cipm_a, b8mode_a,
+      b8pdir_a, ipredmode_a, mvd_a, ref_idx_a, mv_a, ref_pic_id_a,
+      luma_levels_a, luma8_levels_a, luma_dc_a, chroma_dc_a,
+      chroma_levels_a, Y, U, V, NS, s_type, s_spatial, s_d8x8, s_nref,
+      s_refids, s_reflt, s_curpoc, s_colpoc, s_has_col, col_moving,
+      col_ref0, col_ref1, col_id0, col_id1, col_mv0, col_mv1, wp_mode,
+      wp_ly, wp_lc, cadj, wy, oy, wc, oc, wimp, refY, refU, refV,
+      ws4, ws8, has_ws);
+  if (rc != 0) return rc;
+  int n_mbs = W * H;
+  int W4 = 4 * W, H4 = 4 * H;
+  long n4 = (long)W4 * H4;
+  static const int64_t REF_NONE = -1000000000LL;
+  int64_t *rid = (int64_t *)malloc(2 * n4 * sizeof(int64_t));
+  int32_t *bs = (int32_t *)malloc(2 * n4 * sizeof(int32_t));
+  int32_t *t8_32 = (int32_t *)malloc(n_mbs * sizeof(int32_t));
+  if (!rid || !bs || !t8_32) { free(rid); free(bs); free(t8_32); return -2; }
+  for (int l = 0; l < 2; l++)
+    for (long i = 0; i < n4; i++)
+      rid[l * n4 + i] = ref_idx_a[l * n4 + i] >= 0
+                            ? ref_pic_id_a[l * n4 + i] : REF_NONE;
+  for (int i = 0; i < n_mbs; i++) t8_32[i] = t8_a[i];
+  compute_strengths(is_intra_a, cbp_blk, rid, rid + n4,
+                    mv_a, mv_a + 2 * n4, W, H, 0, bs, bs + n4);
+  deblock_run(Y, U, V, width, height, W, H, bs, bs + n4, qp_a, qpc_a,
+              lf_disable, lf_alpha, lf_beta, t8_32, slice_id_a, cfi,
+              255, 255);
+  free(rid); free(bs); free(t8_32);
   return 0;
 }

@@ -337,9 +337,16 @@ def _precompute_strengths(st, sp_si=False, field=False):
     Values per 4x4 block group (each covers 4 pels)."""
     H4, W4 = 4 * st.H, 4 * st.W
     nmb = st.n_mbs
-    is_intra_mb = np.array(
-        [1 if _is_intra_type(int(t)) else 0 for t in st.mb_type], np.bool_
-    ).reshape(st.H, st.W)
+    from ..decoder import mbtables as M
+
+    intra_types = (M.I4MB, M.I8MB, M.I16MB, M.IPCM, M.SI4MB)
+    if not sp_si:
+        from .. import native
+
+        bs = native.compute_strengths(st, field, intra_types)
+        if bs is not None:
+            return bs
+    is_intra_mb = np.isin(st.mb_type, intra_types).reshape(st.H, st.W)
     intra_blk = np.repeat(np.repeat(is_intra_mb, 4, 0), 4, 1)
     cbp_arr = np.array(st.cbp_blk, dtype=np.int64).reshape(st.H, st.W)
     bits = (cbp_arr[:, :, None] >> np.arange(16)) & 1

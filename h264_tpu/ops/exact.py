@@ -52,3 +52,17 @@ def chroma_qp(qp_luma: int, chroma_qp_offset: int, bitdepth_chroma_qp_scale: int
     """Derive chroma QP from luma QP + PPS offset (spec §8.5.8)."""
     qp = max(-bitdepth_chroma_qp_scale, min(51, qp_luma + chroma_qp_offset))
     return qp if qp < 0 else QP_SCALE_CR[qp]
+
+
+_QP_SCALE_CR_ARR = None
+
+
+def chroma_qp_vec(qps, chroma_qp_offset: int):
+    """Vectorized chroma_qp over an int array (8-bit depth)."""
+    import numpy as np
+
+    global _QP_SCALE_CR_ARR
+    if _QP_SCALE_CR_ARR is None:
+        _QP_SCALE_CR_ARR = np.asarray(QP_SCALE_CR, np.int32)
+    q = np.minimum(51, np.asarray(qps) + chroma_qp_offset)
+    return np.where(q < 0, q, _QP_SCALE_CR_ARR[np.maximum(q, 0)])
