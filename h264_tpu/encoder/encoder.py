@@ -137,7 +137,17 @@ class H264Encoder:
         if cfg.b_hierarchy:
             assert cfg.b_frames == 3, "2-layer pyramid needs b_frames == 3"
             assert cfg.fast and cfg.rd, "hierarchy runs on the RD pipeline"
+        if cfg.fast and cfg.search_range > 28:
+            import warnings
+
+            warnings.warn(
+                f"device pipelines clamp SearchRange {cfg.search_range} "
+                "-> 28 (dense-grid memory shape); the coarse-to-fine "
+                "pre-search still reaches +-48 full-pel beyond it",
+                stacklevel=2)
         self._src_dc: dict = {}  # poc -> source-luma mean (WP estimation)
+        self._src_sd: dict = {}  # poc -> source-luma std (WP gain)
+        self._src_ds: dict = {}  # poc -> 8x-decimated source luma (WP test)
         self._lsim = None
         if cfg.loss_aware_k > 0:
             from .lossaware import LossSimulator
@@ -381,6 +391,8 @@ class H264Encoder:
         U = np.asarray(yuv[1], np.int32)
         V = np.asarray(yuv[2], np.int32)
         self._src_dc[poc] = float(Y.mean())
+        self._src_sd[poc] = float(Y.std())
+        self._src_ds[poc] = np.asarray(Y, np.float64)[::8, ::8]
         sps, pps = self.sps, self.pps
         W, H = sps.pic_width_in_mbs, sps.frame_height_in_mbs
         st = PictureParseState(W, H)
@@ -651,17 +663,44 @@ class H264Encoder:
             force_intra = jnp.asarray(mask)
         wp_weights = None
         if cfg.weighted_pred:
-            # DC-ratio luma weights per reference, logWD = 5
-            # (lencod/src/weighted_prediction.c:30, select_offset == 0)
-            dc_cur = float(np.asarray(yuv[0], np.float64).mean())
+            # luma (weight, offset) per reference, logWD = 5.  Three
+            # candidates per ref — DC-ratio gain (the JM default,
+            # weighted_prediction.c:30), identity+DC offset (JM
+            # select_offset), and std-ratio gain + offset — scored by
+            # actual prediction SAD on 8x-decimated source planes (the
+            # measurement replaces JM's multi-pass WP RD test,
+            # weighted_prediction.c:373 test_wp_P_slice)
+            ysrc = np.asarray(yuv[0], np.float64)
+            cur_ds = ysrc[::8, ::8]
+            dc_cur = float(ysrc.mean())
+            sd_cur = float(ysrc.std())
             wp_weights = []
             for rp in ref_pocs:
                 dc_ref = self._src_dc.get(rp, 0.0)
-                w = (int(32 * dc_cur / dc_ref + 0.5) if dc_ref > 0 else 32)
-                wp_weights.append(max(-128, min(127, w)))
+                sd_ref = self._src_sd.get(rp, 0.0)
+                ref_ds = self._src_ds.get(rp)
+                cands = [(32, 0)]
+                if dc_ref > 0:
+                    cands.append(
+                        (max(-128, min(127, int(32 * dc_cur / dc_ref + 0.5))),
+                         0))
+                cands.append((32, max(-128, min(127,
+                                                int(dc_cur - dc_ref + 0.5)))))
+                if sd_ref > 1e-3:
+                    w = max(-128, min(127, int(32 * sd_cur / sd_ref + 0.5)))
+                    o = max(-128, min(127,
+                                      int(dc_cur - w * dc_ref / 32.0 + 0.5)))
+                    cands.append((w, o))
+                if ref_ds is not None and ref_ds.shape == cur_ds.shape:
+                    sads = [np.abs(cur_ds - (np.floor(
+                        (ref_ds * w + 16) / 32) + o)).mean()
+                        for (w, o) in cands]
+                    wp_weights.append(cands[int(np.argmin(sads))])
+                else:
+                    wp_weights.append(cands[1] if len(cands) > 1 else (32, 0))
             wpad = wp_weights + [wp_weights[-1]] * (nr_max - len(wp_weights))
-            wp_w = jnp.asarray(np.asarray(wpad, np.int32))
-            wp_o = jnp.zeros((nr_max,), jnp.int32)
+            wp_w = jnp.asarray(np.asarray([p[0] for p in wpad], np.int32))
+            wp_o = jnp.asarray(np.asarray([p[1] for p in wpad], np.int32))
         if cfg.row_slices > 1:
             if self.rc is not None:
                 # per-row basic-unit QPs (rc_handle_mb restructured:
@@ -708,6 +747,8 @@ class H264Encoder:
             : sps.num_ref_frames
         ]
         self._src_dc[poc] = float(np.asarray(yuv[0], np.float64).mean())
+        self._src_sd[poc] = float(np.asarray(yuv[0], np.float64).std())
+        self._src_ds[poc] = np.asarray(yuv[0], np.float64)[::8, ::8]
         cur_y_np = np.asarray(yuv[0], np.int16)
         mad = (float(np.abs(cur_y_np - self._prev_src).mean())
                if getattr(self, "_prev_src", None) is not None else 1.0)
@@ -785,7 +826,7 @@ class H264Encoder:
         if fetched.ndim == 2:  # row-sliced: (G, per-group buffer)
             G = fetched.shape[0]
             n_g = n_mb // G
-            sz_g = [n_g, 4 * n_g, 4 * n_g, 4 * n_g, n_g, n_g,
+            sz_g = [n_g, 4 * n_g, 4 * n_g, 16 * n_g, 16 * n_g, n_g, n_g,
                     256 * n_g, 16 * n_g, 128 * n_g, 8 * n_g, 16 * n_g]
             per_g = [np.split(row, np.cumsum(sz_g)[:-1]) for row in fetched]
             parts = [np.concatenate([pg[k] for pg in per_g])
@@ -793,23 +834,24 @@ class H264Encoder:
             # ipm rows are per-group (4*Hg, 4*W) planes: restack
             Hg4 = 4 * (st.H // G)
             ipm_plane = np.concatenate(
-                [pg[10].reshape(Hg4, 4 * st.W) for pg in per_g], axis=0)
+                [pg[11].reshape(Hg4, 4 * st.W) for pg in per_g], axis=0)
         else:
-            sizes = [n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, n_mb, n_mb,
-                     256 * n_mb, 16 * n_mb, 128 * n_mb, 8 * n_mb,
-                     16 * n_mb]
+            sizes = [n_mb, 4 * n_mb, 4 * n_mb, 16 * n_mb, 16 * n_mb,
+                     n_mb, n_mb, 256 * n_mb, 16 * n_mb, 128 * n_mb,
+                     8 * n_mb, 16 * n_mb]
             parts = np.split(fetched, np.cumsum(sizes)[:-1])
-            ipm_plane = parts[10].reshape(4 * st.H, 4 * st.W)
+            ipm_plane = parts[11].reshape(4 * st.H, 4 * st.W)
         win = parts[0]
         ref8 = parts[1].reshape(n_mb, 4)
-        mv8x = parts[2].reshape(n_mb, 4)
-        mv8y = parts[3].reshape(n_mb, 4)
-        i16mode = parts[4]
-        cip = parts[5]
-        lev = parts[6].reshape(n_mb, 4, 4, 4, 4)
-        dc = parts[7].reshape(n_mb, 4, 4)
-        levc = parts[8].reshape(n_mb, 2, 2, 2, 4, 4)
-        dcc = parts[9].reshape(n_mb, 2, 2, 2)
+        b8sub = parts[2].reshape(n_mb, 4)
+        mv4x = parts[3].reshape(n_mb, 4, 4)
+        mv4y = parts[4].reshape(n_mb, 4, 4)
+        i16mode = parts[5]
+        cip = parts[6]
+        lev = parts[7].reshape(n_mb, 4, 4, 4, 4)
+        dc = parts[8].reshape(n_mb, 4, 4)
+        levc = parts[9].reshape(n_mb, 2, 2, 2, 4, 4)
+        dcc = parts[10].reshape(n_mb, 2, 2, 2)
         planes.Y, planes.U, planes.V = recon
         G = cfg.row_slices if cfg.row_slices > 1 else 1
         n_g = n_mb // G
@@ -817,8 +859,8 @@ class H264Encoder:
             st.slice_id[g * n_g : (g + 1) * n_g] = g
         if G > 1:
             st.lf_disable[:] = 2  # no filtering across slice edges
-        self._fill_p_state_rd(st, win, ref8, mv8x, mv8y, i16mode, cip,
-                              lev, dc, levc, dcc, ref_pocs, ipm_plane)
+        self._fill_p_state_rd(st, win, ref8, b8sub, mv4x, mv4y, i16mode,
+                              cip, lev, dc, levc, dcc, ref_pocs, ipm_plane)
         nr = len(ref_pocs)
         nals = []
         for g in range(G):
@@ -845,8 +887,8 @@ class H264Encoder:
                 sh.luma_log2_weight_denom = 5
                 sh.chroma_log2_weight_denom = 5
                 sh.pred_weights[0] = [
-                    PredWeight(wv, 0, [32, 32], [0, 0])
-                    for wv in wp_weights
+                    PredWeight(wv, ov, [32, 32], [0, 0])
+                    for (wv, ov) in wp_weights
                 ]
             w = write_slice_header(sh, sps, pps)
             addrs = list(range(g * n_g, (g + 1) * n_g))
@@ -922,9 +964,14 @@ class H264Encoder:
         planes.U[:] = np.asarray(ru)
         planes.V[:] = np.asarray(rv)
 
-    def _fill_p_state_rd(self, st, win, ref8, mv8x, mv8y, i16mode, cip,
-                         lev, dc, levc, dcc, ref_pocs, ipm_plane=None):
-        """Decode-state fill for the RD pipeline interchange buffer."""
+    def _fill_p_state_rd(self, st, win, ref8, b8sub, mv4x, mv4y, i16mode,
+                         cip, lev, dc, levc, dcc, ref_pocs,
+                         ipm_plane=None):
+        """Decode-state fill for the RD pipeline interchange buffer.
+
+        mv4x/mv4y: (n_mb, 4 units, 4 subpos) per-4x4 motion; b8sub:
+        (n_mb, 4) device sub-mode code per unit (0 8x8 / 1 8x4 / 2 4x8
+        / 3 4x4), meaningful for P8x8 winners."""
         n_mb = st.n_mbs
         n_my, n_mx = st.H, st.W
         i4 = win == RD.C_I4
@@ -947,14 +994,25 @@ class H264Encoder:
                   RD.C_I16: 0, RD.C_I4: M.IBLOCK}
         st.mb_type[:] = np.vectorize(type_map.get)(win)
         st.b8mode[:] = np.vectorize(b8_map.get)(win)[:, None]
+        # P8x8 winners carry the device sub-mode per unit
+        _SUBMAP = np.asarray(
+            [M.B8_8x8, M.B8_8x4, M.B8_4x8, M.B8_4x4], np.int32)
+        p88 = win == RD.C_P8x8
+        st.b8mode[p88] = _SUBMAP[b8sub[p88]]
         st.b8pdir[:] = np.where(intra, -1, 0)[:, None]
-        # per-4x4 motion from per-8x8 winner motion
-        def to_pic4(a8):
+
+        # per-4x4 picture-plane fields from the (unit, subpos) layout
+        def to_pic4(a):  # (n_mb, 4, 4) -> (4*n_my, 4*n_mx)
+            return (a.reshape(n_my, n_mx, 2, 2, 2, 2)
+                    .transpose(0, 2, 4, 1, 3, 5)
+                    .reshape(4 * n_my, 4 * n_mx))
+
+        def to_pic4_u(a8):  # (n_mb, 4) per-unit -> (4*n_my, 4*n_mx)
             p = (a8.reshape(n_my, n_mx, 2, 2).transpose(0, 2, 1, 3)
                  .reshape(2 * n_my, 2 * n_mx))
             return np.repeat(np.repeat(p, 2, 0), 2, 1)
 
-        mv4x, mv4y, ref4 = to_pic4(mv8x), to_pic4(mv8y), to_pic4(ref8)
+        mv4x, mv4y, ref4 = to_pic4(mv4x), to_pic4(mv4y), to_pic4_u(ref8)
         intra4 = np.repeat(np.repeat(intra.reshape(n_my, n_mx), 4, 0), 4, 1)
         st.mv[0, ..., 0] = np.where(intra4, 0, mv4x)
         st.mv[0, ..., 1] = np.where(intra4, 0, mv4y)
@@ -1206,26 +1264,27 @@ class H264Encoder:
         if fetched is None:
             fetched = np.asarray(host_out)
         sizes = [n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb, 4 * n_mb,
-                 n_mb, n_mb, 256 * n_mb, 16 * n_mb, 128 * n_mb, 8 * n_mb,
-                 16 * n_mb]
+                 4 * n_mb, n_mb, n_mb, 256 * n_mb, 16 * n_mb, 128 * n_mb,
+                 8 * n_mb, 16 * n_mb]
         parts = np.split(fetched, np.cumsum(sizes)[:-1])
         win = parts[0]
-        idx0 = parts[1].reshape(n_mb, 4)
-        m0x = parts[2].reshape(n_mb, 4)
-        m0y = parts[3].reshape(n_mb, 4)
-        m1x = parts[4].reshape(n_mb, 4)
-        m1y = parts[5].reshape(n_mb, 4)
-        i16mode = parts[6]
-        cip = parts[7]
-        lev = parts[8].reshape(n_mb, 4, 4, 4, 4)
-        dc = parts[9].reshape(n_mb, 4, 4)
-        levc = parts[10].reshape(n_mb, 2, 2, 2, 4, 4)
-        dcc = parts[11].reshape(n_mb, 2, 2, 2)
-        ipm_plane = parts[12].reshape(4 * H, 4 * W)
+        pdir8 = parts[1].reshape(n_mb, 4)
+        idx0 = parts[2].reshape(n_mb, 4)
+        m0x = parts[3].reshape(n_mb, 4)
+        m0y = parts[4].reshape(n_mb, 4)
+        m1x = parts[5].reshape(n_mb, 4)
+        m1y = parts[6].reshape(n_mb, 4)
+        i16mode = parts[7]
+        cip = parts[8]
+        lev = parts[9].reshape(n_mb, 4, 4, 4, 4)
+        dc = parts[10].reshape(n_mb, 4, 4)
+        levc = parts[11].reshape(n_mb, 2, 2, 2, 4, 4)
+        dcc = parts[12].reshape(n_mb, 2, 2, 2)
+        ipm_plane = parts[13].reshape(4 * H, 4 * W)
         planes.Y, planes.U, planes.V = recon
-        self._fill_b_state_rd(st, win, idx0, m0x, m0y, m1x, m1y, i16mode,
-                              cip, lev, dc, levc, dcc, poc, pocs0, poc1,
-                              ipm_plane)
+        self._fill_b_state_rd(st, win, pdir8, idx0, m0x, m0y, m1x, m1y,
+                              i16mode, cip, lev, dc, levc, dcc, poc,
+                              pocs0, poc1, ipm_plane)
         nr0 = len(pocs0)
         sh = SliceHeader(
             slice_type_code=SliceType.B.value,
@@ -1261,9 +1320,9 @@ class H264Encoder:
         self.all_recons.append((poc, planes))
         return [nal]
 
-    def _fill_b_state_rd(self, st, win, idx0, m0x, m0y, m1x, m1y, i16mode,
-                         cip, lev, dc, levc, dcc, poc, pocs0, poc1,
-                         ipm_plane=None):
+    def _fill_b_state_rd(self, st, win, pdir8, idx0, m0x, m0y, m1x, m1y,
+                         i16mode, cip, lev, dc, levc, dcc, poc, pocs0,
+                         poc1, ipm_plane=None):
         n_mb = st.n_mbs
         n_my, n_mx = st.H, st.W
         NONE = -(10 ** 9)
@@ -1271,6 +1330,9 @@ class H264Encoder:
         i16 = win == RD.B_I16
         intra = i16 | i4
         direct = (win == RD.B_DIRECT) | (win == RD.B_DIRECT_ZERO)
+        h168 = win == RD.B_L0_16x8
+        h816 = win == RD.B_L0_8x16
+        p8 = win == RD.B_P8X8
         if ipm_plane is None:
             st.ipredmode[:] = 2
         else:
@@ -1280,13 +1342,24 @@ class H264Encoder:
         st.c_ipred_mode[:] = np.where(intra, cip, 0)
         st.mb_type[:] = np.where(
             direct, M.BSKIP_DIRECT,
-            np.where(i4, M.I4MB, np.where(i16, M.I16MB, M.P16x16)))
+            np.where(i4, M.I4MB, np.where(i16, M.I16MB,
+                     np.where(h168, M.P16x8,
+                              np.where(h816, M.P8x16,
+                                       np.where(p8, M.P8x8, M.P16x16))))))
         st.b8mode[:] = np.where(
             direct, M.B8_DIRECT,
-            np.where(i4, M.IBLOCK, np.where(i16, 0, 1)))[:, None]
+            np.where(i4, M.IBLOCK, np.where(
+                i16, 0, np.where(h168, 2, np.where(h816, 3, 1)))))[:, None]
         pd = np.where(win == RD.B_L0, M.PD_L0,
                       np.where(win == RD.B_L1, M.PD_L1, M.PD_BI))
         st.b8pdir[:] = np.where(intra, M.PD_INTRA, pd)[:, None]
+        halves = h168 | h816
+        st.b8pdir[halves] = pdir8[halves]
+        # P8x8: per-unit sub-mode (pdir8 3 = direct 8x8)
+        if p8.any():
+            udir = pdir8[p8] == 3
+            st.b8mode[p8] = np.where(udir, M.B8_DIRECT, M.B8_8x8)
+            st.b8pdir[p8] = np.where(udir, M.PD_BI, pdir8[p8])
         # residuals (shared layout with the P fill)
         zperm = np.empty(16, np.int64)
         for br in range(4):
@@ -1317,8 +1390,20 @@ class H264Encoder:
 
         use0 = np.isin(win, (RD.B_L0, RD.B_BI))
         use1 = np.isin(win, (RD.B_L1, RD.B_BI))
-        u0_4 = np.repeat(np.repeat(use0.reshape(n_my, n_mx), 4, 0), 4, 1)
-        u1_4 = np.repeat(np.repeat(use1.reshape(n_my, n_mx), 4, 0), 4, 1)
+        # per-unit list usage (halves + P8x8 carry per-unit pdir;
+        # per-unit direct uses both lists)
+        hp = halves | p8
+        u0_u = np.where(hp[:, None], (pdir8 == 0) | (pdir8 >= 2),
+                        use0[:, None])
+        u1_u = np.where(hp[:, None], pdir8 >= 1, use1[:, None])
+
+        def to_pic4_u(a8):
+            p = (a8.reshape(n_my, n_mx, 2, 2).transpose(0, 2, 1, 3)
+                 .reshape(2 * n_my, 2 * n_mx))
+            return np.repeat(np.repeat(p, 2, 0), 2, 1)
+
+        u0_4 = to_pic4_u(u0_u)
+        u1_4 = to_pic4_u(u1_u)
         poc_of0 = np.asarray(pocs0, np.int64)
         r4 = to_pic4(idx0)
         st.mv[0, ..., 0] = np.where(u0_4, to_pic4(m0x), 0)
@@ -1343,8 +1428,18 @@ class H264Encoder:
         FL.fill_temporal_direct(
             st, direct, col, poc, list(pocs0), poc1,
             inference=bool(self.sps.direct_8x8_inference_flag))
+        # per-unit direct 8x8 inside P8x8 MBs (decoder-exact derivation
+        # overwrites the device values for the masked units only)
+        p8dir = p8[:, None] & (pdir8 == 3)
+        if p8dir.any():
+            FL.fill_temporal_direct(
+                st, p8dir.any(1), col, poc, list(pocs0), poc1,
+                inference=bool(self.sps.direct_8x8_inference_flag),
+                unit_mask=p8dir)
         st.skip_flag[direct & (st.cbp == 0)] = 1
         FL.fill_b_explicit_mvd(st, use0, use1)
+        FL.fill_b_half_mvd(st, h168, h816, pdir8)
+        FL.fill_b_p8_mvd(st, p8, pdir8)
 
     def _start_p_fast(self, yuv):
         """Dispatch the device step for a fast-path P frame.

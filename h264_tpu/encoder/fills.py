@@ -190,7 +190,7 @@ def fill_p_mvd_skip(st, win, C):
 
     geom_of = {
         C.C_P16x16: 1, C.C_SKIP: 1, C.C_P16PMV: 1, C.C_P16x8: 2,
-        C.C_P8x16: 3, C.C_P8x8: 4,
+        C.C_P8x16: 3,
     }
     for code, gk in geom_of.items():
         mask = (win == code) & ~hit & ~st.is_intra.astype(bool)
@@ -206,6 +206,97 @@ def fill_p_mvd_skip(st, win, C):
                 for i in range(w4):
                     st.mvd[0, y0[idx] + by + j, x0[idx] + bx + i, 0] = dx[idx]
                     st.mvd[0, y0[idx] + by + j, x0[idx] + bx + i, 1] = dy[idx]
+    # P8x8: per-unit sub-partition geometry from b8mode
+    p88 = (win == C.C_P8x8) & ~hit & ~st.is_intra.astype(bool)
+    if p88.any():
+        _SUB_GEOM = {
+            M.B8_8x8: [(0, 0, 2, 2)],
+            M.B8_8x4: [(0, 0, 2, 1), (0, 1, 2, 1)],
+            M.B8_4x8: [(0, 0, 1, 2), (1, 0, 1, 2)],
+            M.B8_4x4: [(0, 0, 1, 1), (1, 0, 1, 1),
+                       (0, 1, 1, 1), (1, 1, 1, 1)],
+        }
+        for b8 in range(4):
+            bx0, by0 = (b8 & 1) * 2, (b8 >> 1) * 2
+            for sm, subs in _SUB_GEOM.items():
+                mask = p88 & (st.b8mode[:, b8] == sm)
+                if not mask.any():
+                    continue
+                idx = np.where(mask)[0]
+                for (sx, sy, w4, h4) in subs:
+                    bx, by = bx0 + sx, by0 + sy
+                    ref_q = st.ref_idx[0, y0 + by, x0 + bx].astype(np.int32)
+                    px, py = pmv_grid(st, 0, ref_q, bx, by, w4, h4)
+                    dx = st.mv[0, y0 + by, x0 + bx, 0] - px
+                    dy = st.mv[0, y0 + by, x0 + bx, 1] - py
+                    for j in range(h4):
+                        for i in range(w4):
+                            st.mvd[0, y0[idx] + by + j,
+                                   x0[idx] + bx + i, 0] = dx[idx]
+                            st.mvd[0, y0[idx] + by + j,
+                                   x0[idx] + bx + i, 1] = dy[idx]
+
+
+def fill_b_half_mvd(st, h168, h816, pdir8):
+    """MVD for B 16x8 / 8x16 winners: per half, per list where the
+    half's pdir uses that list (spec §8.4.1.3 geometry overrides are in
+    pmv_grid)."""
+    n_mb = st.n_mbs
+    W = st.W
+    y0 = (np.arange(n_mb) // W) * 4
+    x0 = (np.arange(n_mb) % W) * 4
+    for mask_mb, geoms, hunit in (
+        (h168, [(0, 0, 4, 2), (0, 2, 4, 2)], (0, 2)),
+        (h816, [(0, 0, 2, 4), (2, 0, 2, 4)], (0, 1)),
+    ):
+        if not mask_mb.any():
+            continue
+        for h, (bx, by, w4, h4) in enumerate(geoms):
+            pd = pdir8[:, hunit[h]]
+            for lst in (0, 1):
+                use = mask_mb & ((pd == lst) | (pd == 2))
+                if not use.any():
+                    continue
+                ref_q = st.ref_idx[lst, y0 + by, x0 + bx].astype(np.int32)
+                px, py = pmv_grid(st, lst, ref_q, bx, by, w4, h4)
+                dx = st.mv[lst, y0 + by, x0 + bx, 0] - px
+                dy = st.mv[lst, y0 + by, x0 + bx, 1] - py
+                idx = np.where(use)[0]
+                for j in range(h4):
+                    for i in range(w4):
+                        st.mvd[lst, y0[idx] + by + j,
+                               x0[idx] + bx + i, 0] = dx[idx]
+                        st.mvd[lst, y0[idx] + by + j,
+                               x0[idx] + bx + i, 1] = dy[idx]
+
+
+def fill_b_p8_mvd(st, p8, pdir8):
+    """MVD for explicit 8x8 units of B P8x8 MBs (per-unit pdir; direct
+    units carry no mvd)."""
+    n_mb = st.n_mbs
+    W = st.W
+    y0 = (np.arange(n_mb) // W) * 4
+    x0 = (np.arange(n_mb) % W) * 4
+    if not p8.any():
+        return
+    for b8 in range(4):
+        bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
+        pd = pdir8[:, b8]
+        for lst in (0, 1):
+            use = p8 & (pd != 3) & ((pd == lst) | (pd == 2))
+            if not use.any():
+                continue
+            ref_q = st.ref_idx[lst, y0 + by, x0 + bx].astype(np.int32)
+            px, py = pmv_grid(st, lst, ref_q, bx, by, 2, 2)
+            dx = st.mv[lst, y0 + by, x0 + bx, 0] - px
+            dy = st.mv[lst, y0 + by, x0 + bx, 1] - py
+            idx = np.where(use)[0]
+            for j in range(2):
+                for i in range(2):
+                    st.mvd[lst, y0[idx] + by + j, x0[idx] + bx + i, 0] = \
+                        dx[idx]
+                    st.mvd[lst, y0[idx] + by + j, x0[idx] + bx + i, 1] = \
+                        dy[idx]
 
 
 def fill_b_explicit_mvd(st, use0, use1):
@@ -249,12 +340,15 @@ def dist_scale_factors(cur_poc: int, pocs0, poc1: int):
 
 
 def fill_temporal_direct(st, direct_mask, col, cur_poc: int, pocs0,
-                         poc1: int, ref_lt0=None, inference: bool = True):
+                         poc1: int, ref_lt0=None, inference: bool = True,
+                         unit_mask=None):
     """Whole-frame temporal-direct derivation for all `direct_mask` MBs
     (spec §8.4.1.2.3; dual of decoder/mv.py:_temporal_direct).
 
     col: dict with ref_idx0/ref_idx1/ref_id0/ref_id1/mv0/mv1 arrays of
-    the colocated picture (RefPicList1[0]); pocs0: current list0 POCs."""
+    the colocated picture (RefPicList1[0]); pocs0: current list0 POCs.
+    unit_mask (n_mb, 4): restrict the write-back to these 8x8 units
+    (per-unit direct inside B P8x8 MBs)."""
     if not direct_mask.any():
         return
     n_mb = st.n_mbs
@@ -315,6 +409,16 @@ def fill_temporal_direct(st, direct_mask, col, cur_poc: int, pocs0,
 
     ty = y0[:, None] + by[None, :]
     tx = x0[:, None] + bx[None, :]
+    if unit_mask is not None:
+        # block (bx, by) belongs to unit (by>>1)*2 + (bx>>1)
+        bu = ((by >> 1) * 2 + (bx >> 1))[None, :]  # (1, 16)
+        keep = np.take_along_axis(
+            unit_mask[idx], np.broadcast_to(bu, (len(idx), 16)), axis=1)
+        ty = ty[keep]
+        tx = tx[keep]
+        m0x, m0y = m0x[keep], m0y[keep]
+        m1x, m1y = m1x[keep], m1y[keep]
+        ref_l0 = ref_l0[keep]
     st.mv[0, ty, tx, 0] = m0x
     st.mv[0, ty, tx, 1] = m0y
     st.mv[1, ty, tx, 0] = m1x

@@ -28,8 +28,13 @@ Host tail: exact PMV/MVD + skip detection (decoder/mv.py), entropy coding.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
+
+# experiment kill-switches (trace-time): disable candidate families
+_NO_SUB8 = bool(os.environ.get("H264_NO_SUB8"))
+_NO_BHALF = bool(os.environ.get("H264_NO_BHALF"))
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +53,7 @@ C_I4 = 7  # intra 4x4 (decided in the commit scan, I16 vs I4)
 # B-pipeline winner codes (separate table; B candidate set)
 B_DIRECT, B_L0, B_L1, B_BI, B_I16, B_L0_16x8, B_L0_8x16 = 0, 1, 2, 3, 4, 5, 6
 B_I4 = 8
+B_P8X8 = 9  # per-unit sub-modes (pdir8 gives 0 L0 / 1 L1 / 2 BI / 3 direct)
 
 # quarter-pel sample = avg of two plane-bank samples (G=0, b=1, h=2, j=3);
 # table[frac] = (plane0, oy0, ox0, plane1, oy1, ox1), frac = (mvy&3)*4+(mvx&3).
@@ -203,6 +209,42 @@ def _satd(d):
                   d.shape[-1] // 4, 4).swapaxes(-3, -2)
     h = TR.hadamard4x4(b)
     return (jnp.abs(h).sum((-1, -2)) + 1 >> 1).sum((-1, -2))
+
+
+# soft-quantization (RDOQ-lite) constants: the inverse 4x4 basis row
+# norms^2 scaled by 4 (rows (1,1,1,1)/(1,.5,-.5,-1)/... -> 16, 10) and
+# the diag scale tying forward4x4 to the inverse-basis correlation
+# (2*Ci = diag(2,1,2,1) . Cf)
+_RDOQ_N2 = np.outer([16, 10, 16, 10], [16, 10, 16, 10]).astype(np.float32)
+_RDOQ_SS = np.outer([2, 1, 2, 1], [2, 1, 2, 1]).astype(np.float32)
+
+
+def _rdoq4(blk, lev, qp, lam):
+    """Per-coefficient soft quantization of (..., 4, 4) level blocks:
+    decrement |level| by one when the exact pixel-metric distortion
+    increase is beaten by the rate saving, Delta-J = Delta-D + lambda *
+    Delta-R < 0.  The TPU-native reshaping of trellis quantization
+    (JM's later RDO_Q): decisions are per-coefficient independent, so
+    the whole frame's blocks decide in one fused elementwise pass.
+
+    Delta-D comes from the identity <e, IT(dD)> = <diag.Cf(e).diag, dD>:
+    one extra forward4x4 of the 64x-scaled reconstruction error prices
+    every coefficient's candidate at once.  blk: pixel residuals."""
+    deq = Q.dequant4x4(lev, qp)
+    levm = jnp.where(lev > 0, lev - 1, jnp.where(lev < 0, lev + 1, 0))
+    deqm = Q.dequant4x4(levm, qp)
+    delta = (deqm - deq).astype(jnp.float32)
+    err64 = (blk << 6) - TR.inverse4x4(deq.astype(jnp.int32))
+    F64 = TR.forward4x4(err64).astype(jnp.float32)
+    n2 = jnp.asarray(_RDOQ_N2)
+    ss = jnp.asarray(_RDOQ_SS)
+    dD = delta * delta * n2 - 8.0 * delta * F64 * ss  # Delta-D * 65536
+    a = jnp.abs(lev)
+    bits = jnp.where(a > 0, 2 * _bitlen(jnp.maximum(a, 1)) + 2, 0)
+    am = jnp.abs(levm)
+    bits_m = jnp.where(am > 0, 2 * _bitlen(jnp.maximum(am, 1)) + 2, 0)
+    dJ = dD + jnp.asarray(lam, jnp.float32) * (bits_m - bits)
+    return jnp.where((a > 0) & (dJ < 0), levm, lev)
 
 
 # JM single-coefficient cost by run length (lencod/inc/block.h:45
@@ -529,15 +571,15 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         costs = jnp.stack(costs)
         preds = jnp.stack(preds)
         k = jnp.argmin(costs)
-        return base_x + offs[k, 0], base_y + offs[k, 1], preds[k]
+        return base_x + offs[k, 0], base_y + offs[k, 1], preds[k], costs[k]
 
     def refine_parts(res, oy, ox, h, w):
         ref, ix, iy = res
         f = jax.vmap(lambda i: refine_unit(
             ref.reshape(-1)[i], ix.reshape(-1)[i], iy.reshape(-1)[i],
             mb_ys[i] + oy, mb_xs[i] + ox, pmvx_f[i], pmvy_f[i], h, w))
-        mvx, mvy, pred = f(jnp.arange(n_mb))
-        return ref.reshape(-1), mvx, mvy, pred
+        mvx, mvy, pred, cost = f(jnp.arange(n_mb))
+        return ref.reshape(-1), mvx, mvy, pred, cost
 
     q16 = refine_parts((r16, x16, y16), 0, 0, 16, 16)
     q168 = [refine_parts(r168[hf], 8 * hf, 0, 8, 16) for hf in range(2)]
@@ -546,6 +588,173 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
            for b8 in range(4)]
     if stage == 3:
         return (sum(u.sum() for t in [q16] + q168 + q816 + q88 for u in t),
+                None, None)
+
+    # ---- sub-8x8 partition decision per 8x8 unit ------------------------
+    # (mode_decision.c:531 submacroblock_mode_decision, rdopt.c:1052):
+    # each 8x8 unit additionally considers 8x4 / 4x8 / 4x4 sub-blocks.
+    # The unit's reference is fixed to its 8x8 winner (sub-parts of one
+    # unit share ref_idx, spec §7.4.5.2); sub-block integer search runs
+    # on 4x4-level SSD grids for that reference only (the me_fullfast.c
+    # small-block grids, materialized per chosen ref), then quarter-pel
+    # refines via the same 49-point window.  Sub-mode choice is SATD +
+    # lambda * (mv rate + sub_mb_type rate), the JM SATD-mode analog.
+    b8oy = (0, 0, 8, 8)
+    b8ox = (0, 8, 0, 8)
+    nsb = n_mb * 4  # units in MB-major order: u = 4*mb + b8
+    u_mb = jnp.arange(nsb) // 4
+    u_b8 = jnp.arange(nsb) % 4
+    u_y0 = mb_ys[u_mb] + jnp.asarray(b8oy)[u_b8]
+    u_x0 = mb_xs[u_mb] + jnp.asarray(b8ox)[u_b8]
+    # unit winner (ref, qpel mv, refine cost) from the 8x8 stage
+    u_ref = jnp.stack([q88[b][0] for b in range(4)], 1).reshape(-1)
+    u_qx = jnp.stack([q88[b][1] for b in range(4)], 1).reshape(-1)
+    u_qy = jnp.stack([q88[b][2] for b in range(4)], 1).reshape(-1)
+    u_c88 = jnp.stack([q88[b][4] for b in range(4)], 1).reshape(-1)
+    u_pred8 = jnp.stack([q88[b][3] for b in range(4)], 1)  # (n_mb,4,8,8)
+    # picture-raster 8x8 block index of each unit (for the search center)
+    u_px = pmvx_f[u_mb]
+    u_py = pmvy_f[u_mb]
+    # sub-block integer search centers on the unit's 8x8 winner (full
+    # pel): motion divergence inside an 8x8 unit is local, so a tight
+    # +-RS window around the winner covers it at ~1/7 the grid compute
+    # of the full +-R sweep (the sub-block analog of the coarse-to-fine
+    # me_fullfast strategy)
+    RS = min(R, 10)
+    DS = 2 * RS + 1
+    # clamp centers so every sub-block window (and its quarter-pel
+    # refinement) stays inside the padded planes; a clamped center only
+    # re-centers the +-RS window — every cell still maps to its true mv
+    CMAX = PADW - RS - 5
+    u_cy = jnp.clip(u_qy >> 2, -CMAX, CMAX)
+    u_cx = jnp.clip(u_qx >> 2, -CMAX, CMAX)
+    Wn4 = 2 * RS + 4
+
+    def block_ssd4(r, y0, x0, cy0, cx0):
+        """(DS, DS) SSD grid of the 4x4 block at (y0, x0) vs ref r
+        around center (cy0, cx0)."""
+        win = jax.lax.dynamic_slice(
+            search0, (r, y0 + cy0 - RS + PADW, x0 + cx0 - RS + PADW),
+            (1, Wn4, Wn4))[0]
+        cb = jax.lax.dynamic_slice(cur_y, (y0, x0), (4, 4))
+        cross = jnp.zeros((DS, DS), jnp.int32)
+        for i in range(4):
+            for j in range(4):
+                cross = cross + cb[i, j] * jax.lax.dynamic_slice(
+                    win, (i, j), (DS, DS))
+        w2 = win * win
+        vc = jnp.cumsum(jnp.pad(w2, ((1, 0), (0, 0))), axis=0)
+        vbox = vc[4:] - vc[:-4]
+        hc = jnp.cumsum(jnp.pad(vbox, ((0, 0), (1, 0))), axis=1)
+        r2 = hc[:, 4:] - hc[:, :-4]
+        return r2 - 2 * cross + (cb * cb).sum()
+
+    def unit_grids(u):
+        g = [block_ssd4(u_ref[u], u_y0[u] + (q >> 1) * 4,
+                        u_x0[u] + (q & 1) * 4, u_cy[u], u_cx[u])
+             for q in range(4)]
+        return jnp.stack(g)  # (4, DS, DS) quadrant grids
+
+    s44 = jax.vmap(unit_grids)(jnp.arange(nsb))  # (nsb, 4, DS, DS)
+    # mv-rate grid per unit (cells are cen + (j, i) - RS, priced vs PMV)
+    dgrid_s = jnp.arange(-RS, RS + 1) * 4
+    u_bx = _mv_bits(u_cx[:, None] * 4 + dgrid_s[None, :] - u_px[:, None])
+    u_by = _mv_bits(u_cy[:, None] * 4 + dgrid_s[None, :] - u_py[:, None])
+    u_mvb = u_by[:, :, None] + u_bx[:, None, :]  # (nsb, DS, DS)
+
+    def sub_argmin(grid):
+        """grid: (nsb, DS, DS) -> integer (mvx, mvy) per unit."""
+        k = jnp.argmin((grid + _lam_cost(lam_me, u_mvb)).reshape(nsb, -1),
+                       axis=-1)
+        return (k % DS - RS + u_cx).astype(jnp.int32), \
+            (k // DS - RS + u_cy).astype(jnp.int32)
+
+    def refine_sub(ix, iy, oy: int, ox: int, h: int, w: int):
+        f = jax.vmap(lambda u: refine_unit(
+            u_ref[u], ix[u], iy[u], u_y0[u] + oy, u_x0[u] + ox,
+            u_px[u], u_py[u], h, w))
+        return f(jnp.arange(nsb))  # (mvx, mvy, pred, cost)
+
+    # 8x4: halves are quadrant pairs (0,1) / (2,3)
+    s84 = [s44[:, 0] + s44[:, 1], s44[:, 2] + s44[:, 3]]
+    q84 = [refine_sub(*sub_argmin(s84[hf]), 4 * hf, 0, 4, 8)
+           for hf in range(2)]
+    # 4x8: halves are quadrant pairs (0,2) / (1,3)
+    s48 = [s44[:, 0] + s44[:, 2], s44[:, 1] + s44[:, 3]]
+    q48 = [refine_sub(*sub_argmin(s48[hf]), 0, 4 * hf, 8, 4)
+           for hf in range(2)]
+    # 4x4 quadrants
+    q44 = [refine_sub(*sub_argmin(s44[:, q]), (q >> 1) * 4, (q & 1) * 4,
+                      4, 4) for q in range(4)]
+
+    # split-mode selection among {8x4, 4x8, 4x4} by SATD-level cost (the
+    # motion-cost tier); the plain-8x8-vs-split decision happens later
+    # at FULL RD (true residual bits + lambda_mode), mirroring JM's
+    # trial-coded submacroblock_mode_decision — a SATD-only split
+    # decision over-fragments grainy content (~sqrt(lambda) underprices
+    # the extra mvds).
+    lam_satd = jnp.sqrt(
+        jnp.asarray(lam_me, jnp.float32) * 65536.0).astype(jnp.int32)
+    split_cost = jnp.stack([
+        q84[0][3] + q84[1][3] + _lam_cost(lam_satd, jnp.int32(3)),
+        q48[0][3] + q48[1][3] + _lam_cost(lam_satd, jnp.int32(3)),
+        q44[0][3] + q44[1][3] + q44[2][3] + q44[3][3]
+        + _lam_cost(lam_satd, jnp.int32(5)),
+    ])
+    u_split = jnp.argmin(split_cost, axis=0).astype(jnp.int32) + 1  # 1..3
+    # per-quadrant (2x2 subpos raster) mv of the winning split mode
+    qsel = lambda q: [  # split mode -> (mvx, mvy) of subpos q
+        (q84[q >> 1][0], q84[q >> 1][1]),
+        (q48[q & 1][0], q48[q & 1][1]),
+        (q44[q][0], q44[q][1]),
+    ]
+
+    def pick3(vals):
+        return jnp.take_along_axis(jnp.stack(vals), u_split[None] - 1, 0)[0]
+
+    spl_mvx = jnp.stack(
+        [pick3([v[0] for v in qsel(q)]) for q in range(4)], 1)  # (nsb, 4)
+    spl_mvy = jnp.stack(
+        [pick3([v[1] for v in qsel(q)]) for q in range(4)], 1)
+    # assembled unit prediction of the winning split mode
+    p84 = jnp.concatenate([q84[0][2], q84[1][2]], axis=1)
+    p48 = jnp.concatenate([q48[0][2], q48[1][2]], axis=2)
+    p44 = jnp.concatenate([
+        jnp.concatenate([q44[0][2], q44[1][2]], axis=2),
+        jnp.concatenate([q44[2][2], q44[3][2]], axis=2)], axis=1)
+    spl_pred = jnp.take_along_axis(
+        jnp.stack([p84, p48, p44]),
+        (u_split[None, :, None, None] - 1), 0)[0]  # (nsb, 8, 8)
+    stb = jnp.asarray([0, 3, 3, 5], jnp.int32)[u_split]
+
+    def chain_bits(mvxs, mvys):
+        """mvxs: list of (nsb,) in sub-block scan order; chained rate."""
+        tot = _mv_bits(mvxs[0] - u_px) + _mv_bits(mvys[0] - u_py)
+        for a in range(1, len(mvxs)):
+            tot = tot + _mv_bits(mvxs[a] - mvxs[a - 1]) \
+                + _mv_bits(mvys[a] - mvys[a - 1])
+        return tot
+
+    split_mot = jnp.stack([
+        chain_bits([q84[0][0], q84[1][0]], [q84[0][1], q84[1][1]]),
+        chain_bits([q48[0][0], q48[1][0]], [q48[0][1], q48[1][1]]),
+        chain_bits([q44[q][0] for q in range(4)],
+                   [q44[q][1] for q in range(4)]),
+    ])
+    motb_split = (jnp.take_along_axis(split_mot, u_split[None] - 1, 0)[0]
+                  + stb).reshape(n_mb, 4)
+    motb_plain = (chain_bits([u_qx], [u_qy])
+                  + jnp.int32(1)).reshape(n_mb, 4)  # sub_mb_type ue(0)
+    # MB-level composites of the split field
+    spl_pred_mb = (spl_pred.reshape(n_mb, 2, 2, 8, 8)
+                   .transpose(0, 1, 3, 2, 4).reshape(n_mb, 16, 16))
+    spl_mvx_mb = spl_mvx.reshape(n_mb, 4, 4)  # [mb][b8][subpos]
+    spl_mvy_mb = spl_mvy.reshape(n_mb, 4, 4)
+    spl_mode_mb = u_split.reshape(n_mb, 4)
+    plain_pred_mb = (u_pred8.reshape(n_mb, 2, 2, 8, 8)
+                     .transpose(0, 1, 3, 2, 4).reshape(n_mb, 16, 16))
+    if stage == 35:
+        return (spl_pred_mb.sum() + spl_mvx_mb.sum() + motb_split.sum(),
                 None, None)
 
     # ---- skip MV field (spec §8.4.1.1 on the refined 16x16 field) ------
@@ -650,11 +859,10 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         q16[3],
         jnp.concatenate([q168[0][3], q168[1][3]], axis=1),
         jnp.concatenate([q816[0][3], q816[1][3]], axis=2),
-        jnp.concatenate([
-            jnp.concatenate([q88[0][3], q88[1][3]], axis=2),
-            jnp.concatenate([q88[2][3], q88[3][3]], axis=2)], axis=1),
+        plain_pred_mb,  # P8x8, all units 8x8
         pred_sk,
-    ])  # (NC, n_mb, 16, 16)
+        spl_pred_mb,    # P8x8, all units split (composed per unit below)
+    ])  # (NC+1, n_mb, 16, 16)
 
     orig_mb = (cur_y.reshape(n_my, 16, n_mx, 16).transpose(0, 2, 1, 3)
                .reshape(n_mb, 16, 16))
@@ -669,6 +877,7 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         blk = res.reshape(*res.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
         co = TR.forward4x4(blk)
         lev = Q.quant4x4(co, qp, off_inter)
+        lev = _rdoq4(blk, lev, qp, lam)
         deq = Q.dequant4x4(lev, qp)
         rr = TR.inverse4x4(deq.astype(jnp.int32)).astype(jnp.int32)
         pb = pred.reshape(*pred.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
@@ -677,6 +886,43 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         return _threshold_inter_luma(lev, rec, pred, orig)
 
     lev_i, rec_i, D_i, cb_i = tq_recon(preds, orig_mb[None])
+
+    # ---- per-unit plain-8x8 vs split decision at FULL RD ---------------
+    # (mode_decision.c:531: each 8x8 unit's sub-partitioning is decided
+    # on true residual-coded D + lambda_mode * (coef + motion bits))
+    def unit_D(rec):
+        d = orig_mb - rec
+        q = d.reshape(n_mb, 2, 8, 2, 8)
+        return (q * q).sum((2, 4)).reshape(n_mb, 4)  # [b8 = 2*by+bx]
+
+    def unit_bits(lev):
+        b4 = _coef_bits(lev)  # (n_mb, 4, 4) per 4x4 block
+        return b4.reshape(n_mb, 2, 2, 2, 2).sum((2, 4)).reshape(n_mb, 4)
+
+    Du_p, Bu_p = unit_D(rec_i[3]), unit_bits(lev_i[3])
+    Du_s, Bu_s = unit_D(rec_i[5]), unit_bits(lev_i[5])
+    use_split = (Du_s + _lam_cost(lam, Bu_s + motb_split)
+                 < Du_p + _lam_cost(lam, Bu_p + motb_plain))  # (n_mb, 4)
+    if _NO_SUB8:
+        use_split = jnp.zeros_like(use_split)
+    m_blk = jnp.repeat(jnp.repeat(
+        use_split.reshape(n_mb, 2, 2), 2, 1), 2, 2)  # (n_mb, 4, 4)
+    m_pix = jnp.repeat(jnp.repeat(
+        use_split.reshape(n_mb, 2, 2), 8, 1), 8, 2)  # (n_mb, 16, 16)
+    lev_i = lev_i.at[3].set(jnp.where(
+        m_blk[..., None, None], lev_i[5], lev_i[3]))
+    rec_i = rec_i.at[3].set(jnp.where(m_pix, rec_i[5], rec_i[3]))
+    D_i = D_i.at[3].set(jnp.where(use_split, Du_s, Du_p).sum(-1))
+    cb_i = cb_i.at[3].set(jnp.where(use_split, Bu_s, Bu_p).sum(-1))
+    sub_mot_mb = jnp.where(use_split, motb_split, motb_plain).sum(-1)
+    sub_mode_mb = jnp.where(use_split, spl_mode_mb, 0)
+    sub_mvx_mb = jnp.where(use_split[:, :, None], spl_mvx_mb,
+                           u_qx.reshape(n_mb, 4)[:, :, None])
+    sub_mvy_mb = jnp.where(use_split[:, :, None], spl_mvy_mb,
+                           u_qy.reshape(n_mb, 4)[:, :, None])
+    lev_i, rec_i, D_i, cb_i = (lev_i[:5], rec_i[:5], D_i[:5], cb_i[:5])
+    preds = preds.at[3].set(jnp.where(m_pix, preds[5], preds[3]))[:5]
+
     # skip candidate: zero residual
     skip_rec = preds[4].clip(0, 255)
     dsk = orig_mb - skip_rec
@@ -705,7 +951,7 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         mvb[0, :, 0],
         mvb[1, :, 0] + chain(1, 2, 0),
         mvb[2, :, 0] + chain(2, 1, 0),
-        mvb[3, :, 0] + chain(3, 1, 0) + chain(3, 2, 0) + chain(3, 3, 1),
+        sub_mot_mb,  # per-unit sub_mb_type + chained sub-block mvds
         jnp.zeros((n_mb,), jnp.int32),
     ])
     R_inter = hdr[:, None] + mot + (refb * sel[:, None, :]).sum(-1)
@@ -770,25 +1016,40 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     w_ref8 = take(ref8, win_i)
     w_mv8x = take(mv8x, win_i)
     w_mv8y = take(mv8y, win_i)
+    # per-4x4 winner motion (n_mb, 4 units, 4 subpos): the sub-partition
+    # field for P8x8 winners, the unit motion broadcast otherwise
+    is_p88 = win == C_P8x8
+    w_sub = jnp.where(is_p88[:, None], sub_mode_mb, 0)
+    w_mv4x = jnp.where(is_p88[:, None, None], sub_mvx_mb,
+                       w_mv8x[:, :, None])
+    w_mv4y = jnp.where(is_p88[:, None, None], sub_mvy_mb,
+                       w_mv8y[:, :, None])
 
     # ---- chroma for inter winners ---------------------------------------
     Hc, Wc = H // 2, W // 2
 
     def chroma_pred_mb(i):
+        # one 2x2 chroma block per 4x4 luma sub-block (identical samples
+        # to per-partition MC when sub-blocks share a MV)
         blocks = []
         for b8 in range(4):
-            blocks.append(_mc_chroma_unit(
-                cpads_f, w_ref8[i, b8], w_mv8x[i, b8], w_mv8y[i, b8],
-                (mb_ys[i] >> 1) + (b8oy[b8] >> 1),
-                (mb_xs[i] >> 1) + (b8ox[b8] >> 1), 4, 4, pad=PADW))
-        top = jnp.concatenate(blocks[:2], axis=2)
-        bot = jnp.concatenate(blocks[2:], axis=2)
-        return jnp.concatenate([top, bot], axis=1)  # (2, 8, 8)
+            for q in range(4):
+                ly = b8oy[b8] + (q >> 1) * 4
+                lx = b8ox[b8] + (q & 1) * 4
+                blocks.append(_mc_chroma_unit(
+                    cpads_f, w_ref8[i, b8], w_mv4x[i, b8, q],
+                    w_mv4y[i, b8, q],
+                    (mb_ys[i] + ly) >> 1, (mb_xs[i] + lx) >> 1,
+                    2, 2, pad=PADW))
+        g = jnp.stack(blocks).reshape(2, 2, 2, 2, 2, 2, 2)
+        # [b8y, b8x, qy, qx, ch, h, w] -> (ch, 8, 8)
+        return g.transpose(4, 0, 2, 5, 1, 3, 6).reshape(2, 8, 8)
 
     pred_c_mb = jax.vmap(chroma_pred_mb)(jnp.arange(n_mb))  # (n_mb, 2, 8, 8)
     orig_c = jnp.stack([cur_u, cur_v]).reshape(
         2, n_my, 8, n_mx, 8).transpose(1, 3, 0, 2, 4).reshape(n_mb, 2, 8, 8)
-    levc, dcc, recc, _ = _chroma_tq(pred_c_mb, orig_c, qp_c, intra=False)
+    levc, dcc, recc, _ = _chroma_tq(pred_c_mb, orig_c, qp_c, intra=False,
+                                lam=lam)
     # skip winners carry no chroma residual either
     skipm = (win == C_SKIP)
     levc = jnp.where(skipm[:, None, None, None, None, None], 0, levc)
@@ -813,12 +1074,12 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         (-1, -2))[:, None, None])
     nz4_pic = (nz4.reshape(n_my, n_mx, 4, 4).transpose(0, 2, 1, 3)
                .reshape(4 * n_my, 4 * n_mx))
-    mvx4 = jnp.repeat(jnp.repeat(
-        w_mv8x.reshape(n_my, n_mx, 2, 2).transpose(0, 2, 1, 3)
-        .reshape(2 * n_my, 2 * n_mx), 2, 0), 2, 1)
-    mvy4 = jnp.repeat(jnp.repeat(
-        w_mv8y.reshape(n_my, n_mx, 2, 2).transpose(0, 2, 1, 3)
-        .reshape(2 * n_my, 2 * n_mx), 2, 0), 2, 1)
+    def mv4_pic(a):  # (n_mb, 4, 4) unit/subpos -> (4*n_my, 4*n_mx)
+        return (a.reshape(n_my, n_mx, 2, 2, 2, 2)
+                .transpose(0, 2, 4, 1, 3, 5).reshape(4 * n_my, 4 * n_mx))
+
+    mvx4 = mv4_pic(w_mv4x)
+    mvy4 = mv4_pic(w_mv4y)
     ref4 = jnp.repeat(jnp.repeat(
         w_ref8.reshape(n_my, n_mx, 2, 2).transpose(0, 2, 1, 3)
         .reshape(2 * n_my, 2 * n_mx), 2, 0), 2, 1)
@@ -837,8 +1098,8 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         jnp.pad(du_, PAD, mode="edge"), jnp.pad(dv_, PAD, mode="edge")])
 
     host_out = jnp.concatenate([
-        win.reshape(-1), w_ref8.reshape(-1),
-        w_mv8x.reshape(-1), w_mv8y.reshape(-1),
+        win.reshape(-1), w_ref8.reshape(-1), w_sub.reshape(-1),
+        w_mv4x.reshape(-1), w_mv4y.reshape(-1),
         i16mode.reshape(-1), cip.reshape(-1),
         w_lev.reshape(-1), lum_dc.reshape(-1),
         levc.reshape(-1), dcc.reshape(-1),
@@ -934,7 +1195,7 @@ def _i16_tq(pred, orig, qp: int):
     return lev, dc_lev, rec, D_, cb
 
 
-def _chroma_tq(pred, orig, qp_c: int, intra: bool):
+def _chroma_tq(pred, orig, qp_c: int, intra: bool, lam=None):
     """Chroma residual path per MB: pred/orig (n, 2, 8, 8).
     Returns levels (n, 2, 2, 2, 4, 4), dc (n, 2, 2, 2), recon (n, 2, 8, 8)."""
     res = orig - pred
@@ -946,6 +1207,12 @@ def _chroma_tq(pred, orig, qp_c: int, intra: bool):
     off = jnp.int32(Q.default_offset4(qp_c, intra))
     lev = Q.quant4x4(co, qp_c, off)
     lev = lev.at[..., 0, 0].set(0)
+    if lam is not None:
+        # AC soft quantization (DC slot is 0, so _rdoq4 leaves it; the
+        # missing separately-scaled DC only misstates the error's DC
+        # component, which is orthogonal to every AC basis row)
+        lev = _rdoq4(blk, lev, qp_c, lam)
+        lev = lev.at[..., 0, 0].set(0)
     if not intra:
         # JM chroma AC thresholding (block.c:1384): per component, drop
         # all AC coefficients when their coeff_cost < _CHROMA_COEFF_COST_
@@ -1641,16 +1908,23 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         r2 = hc[:, 8:] - hc[:, :-8]
         return r2 - 2 * cross + cur2[bi]
 
-    def ssd16_of(banks):
+    def ssd8_of(banks):
         nr = banks.shape[0]
         s8 = jax.vmap(
             lambda r: jax.vmap(lambda b: block_ssd(banks[r, 0], b))(
                 jnp.arange(n_b8))
         )(jnp.arange(nr))
-        return s8.reshape(nr, n_my, 2, n_mx, 2, D, D).sum((2, 4))
+        return s8.reshape(nr, n_my, 2, n_mx, 2, D, D)
 
-    g0 = ssd16_of(banks0)
-    g1 = ssd16_of(banks1)
+    s8_0 = ssd8_of(banks0)
+    s8_1 = ssd8_of(banks1)
+    g0 = s8_0.sum((2, 4))
+    g1 = s8_1.sum((2, 4))
+    # half-partition grids (16x8 / 8x16), both lists
+    h168_0 = s8_0.sum(4).transpose(0, 1, 3, 2, 4, 5)  # (nr,my,mx,half,D,D)
+    h168_1 = s8_1.sum(4).transpose(0, 1, 3, 2, 4, 5)
+    h816_0 = s8_0.sum(2)
+    h816_1 = s8_1.sum(2)
 
     # PMV field from list0 best (zero-biased)
     dgrid = jnp.arange(-R, R + 1) * 4
@@ -1712,43 +1986,126 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
     pmvy_f = pmvy.reshape(-1)
     offs = jnp.asarray(_REFINE)
 
-    def refine16(banks, ref, imvx, imvy, i):
-        y0, x0 = mb_ys[i], mb_xs[i]
-        orig = jax.lax.dynamic_slice(cur_y, (y0, x0), (16, 16))
+    lam_satd = jnp.sqrt(
+        jnp.asarray(lam_me, jnp.float32) * 65536.0).astype(jnp.int32)
+
+    def refine_u(banks, ref, imvx, imvy, i, oy: int, ox: int,
+                 h: int, w: int):
+        """49-point quarter-pel refine of the (h, w) unit at MB i +
+        (oy, ox); returns (mvx, mvy, pred, cost)."""
+        y0, x0 = mb_ys[i] + oy, mb_xs[i] + ox
+        orig = jax.lax.dynamic_slice(cur_y, (y0, x0), (h, w))
         iy = y0 + imvy + PAD - 1
         ix = x0 + imvx + PAD - 1
         wins = jax.lax.dynamic_slice(
-            banks, (ref, 0, iy, ix), (1, 4, 19, 19))[0]
+            banks, (ref, 0, iy, ix), (1, 4, h + 3, w + 3))[0]
         preds, costs = [], []
-        lam_satd = jnp.sqrt(
-            jnp.asarray(lam_me, jnp.float32) * 65536.0).astype(jnp.int32)
-        for (ox, oy) in _REFINE:
-            dx, dy = int(ox) & 3, int(oy) & 3
-            sx, sy = (int(ox) >> 2) + 1, (int(oy) >> 2) + 1
+        for (oxq, oyq) in _REFINE:
+            dx, dy = int(oxq) & 3, int(oyq) & 3
+            sx, sy = (int(oxq) >> 2) + 1, (int(oyq) >> 2) + 1
             t = _QTAB[dy * 4 + dx]
-            a = wins[t[0], sy + t[1]: sy + t[1] + 16,
-                     sx + t[2]: sx + t[2] + 16]
-            b = wins[t[3], sy + t[4]: sy + t[4] + 16,
-                     sx + t[5]: sx + t[5] + 16]
+            a = wins[t[0], sy + t[1]: sy + t[1] + h,
+                     sx + t[2]: sx + t[2] + w]
+            b = wins[t[3], sy + t[4]: sy + t[4] + h,
+                     sx + t[5]: sx + t[5] + w]
             pred = (a + b + 1) >> 1
             d = orig - pred
-            rate = _mv_bits(imvx * 4 + ox - pmvx_f[i]) + _mv_bits(
-                imvy * 4 + oy - pmvy_f[i])
+            rate = _mv_bits(imvx * 4 + oxq - pmvx_f[i]) + _mv_bits(
+                imvy * 4 + oyq - pmvy_f[i])
             preds.append(pred)
             costs.append(_satd(d) + _lam_cost(lam_satd, rate))
         k = jnp.argmin(jnp.stack(costs))
         return (imvx * 4 + offs[k, 0], imvy * 4 + offs[k, 1],
-                jnp.stack(preds)[k])
+                jnp.stack(preds)[k], jnp.stack(costs)[k])
 
-    def refine_list(banks, am):
+    def refine_list(banks, am, oy=0, ox=0, h=16, w=16):
         ref, ix, iy = am
-        f = jax.vmap(lambda i: refine16(
+        f = jax.vmap(lambda i: refine_u(
             banks, ref.reshape(-1)[i], ix.reshape(-1)[i],
-            iy.reshape(-1)[i], i))
+            iy.reshape(-1)[i], i, oy, ox, h, w))
         return (ref.reshape(-1),) + tuple(f(jnp.arange(n_mb)))
 
-    ref0, mv0x, mv0y, pred0 = refine_list(banks0, a0)
-    ref1, mv1x, mv1y, pred1 = refine_list(banks1, a1)
+    ref0, mv0x, mv0y, pred0, cost0 = refine_list(banks0, a0)
+    ref1, mv1x, mv1y, pred1, cost1 = refine_list(banks1, a1)
+
+    # ---- half-partition candidates (16x8 / 8x16, per-half pdir) ---------
+    # (the B partition modes of mode_decision.c; mb_type covers every
+    # (pdir_top/left, pdir_bot/right) combination — mbtables.B_PDIR_*)
+    rbits0 = jnp.asarray(np.array(
+        [1 if r == 0 else 2 * int(r + 1).bit_length() - 1
+         for r in range(NR0)], np.int32))
+    rbits0 = jnp.where(nref0 <= 1, 0, rbits0)
+
+    def half_set(g0h, g1h, oy, ox, h, w):
+        """One half geometry: L0/L1 argmin+refine, then per-half best of
+        {L0, L1, BI}; returns dict of per-MB fields."""
+        a0h = argmin16(g0h, nref0)
+        a1h = argmin16(g1h)
+        r0, x0, y0, p0, c0 = refine_list(banks0, a0h, oy, ox, h, w)
+        r1, x1, y1, p1, c1 = refine_list(banks1, a1h, oy, ox, h, w)
+        pbi = (p0 + p1 + 1) >> 1
+        oh = jax.vmap(lambda i: jax.lax.dynamic_slice(
+            cur_y, (mb_ys[i] + oy, mb_xs[i] + ox), (h, w)))(
+            jnp.arange(n_mb))
+        mvb0h = _mv_bits(x0 - pmvx_f) + _mv_bits(y0 - pmvy_f)
+        mvb1h = _mv_bits(x1 - pmvx_f) + _mv_bits(y1 - pmvy_f)
+        cbi = jax.vmap(_satd)(oh - pbi) + _lam_cost(
+            lam_satd, mvb0h + mvb1h + rbits0[r0])
+        costs = jnp.stack([c0 + _lam_cost(lam_satd, rbits0[r0]), c1, cbi])
+        pd = jnp.argmin(costs, axis=0).astype(jnp.int32)  # 0 L0/1 L1/2 BI
+        pred = jnp.where((pd == 0)[:, None, None], p0,
+                         jnp.where((pd == 1)[:, None, None], p1, pbi))
+        # header-rate contribution of this half (ref + mvds by pdir)
+        hbits = jnp.where(pd == 0, rbits0[r0] + mvb0h,
+                          jnp.where(pd == 1, mvb1h,
+                                    rbits0[r0] + mvb0h + mvb1h))
+        return dict(pd=pd, pred=pred, r0=r0, x0=x0, y0=y0,
+                    x1=x1, y1=y1, bits=hbits)
+
+    h168 = [half_set(h168_0[:, :, :, hf], h168_1[:, :, :, hf],
+                     8 * hf, 0, 8, 16) for hf in range(2)]
+    h816 = [half_set(h816_0[:, :, :, hf], h816_1[:, :, :, hf],
+                     0, 8 * hf, 16, 8) for hf in range(2)]
+    pred_168 = jnp.concatenate([h168[0]["pred"], h168[1]["pred"]], axis=1)
+    pred_816 = jnp.concatenate([h816[0]["pred"], h816[1]["pred"]], axis=2)
+
+    def b8_set(b8, pred_dir_all):
+        """One 8x8 unit of the B P8x8 candidate: best of {direct 8x8,
+        L0 8x8, L1 8x8, BI 8x8} (SUB_MB_B sub-types; JM evaluates the
+        same set per unit in submacroblock_mode_decision for B)."""
+        by, bx = b8 >> 1, b8 & 1
+        a0u = argmin16(s8_0[:, :, by, :, bx], nref0)
+        a1u = argmin16(s8_1[:, :, by, :, bx])
+        r0, x0, y0, p0, c0 = refine_list(banks0, a0u, 8 * by, 8 * bx, 8, 8)
+        r1, x1, y1, p1, c1 = refine_list(banks1, a1u, 8 * by, 8 * bx, 8, 8)
+        pbi = (p0 + p1 + 1) >> 1
+        pdir_u = pred_dir_all[:, 8 * by: 8 * by + 8, 8 * bx: 8 * bx + 8]
+        ou = jax.vmap(lambda i: jax.lax.dynamic_slice(
+            cur_y, (mb_ys[i] + 8 * by, mb_xs[i] + 8 * bx), (8, 8)))(
+            jnp.arange(n_mb))
+        mvb0u = _mv_bits(x0 - pmvx_f) + _mv_bits(y0 - pmvy_f)
+        mvb1u = _mv_bits(x1 - pmvx_f) + _mv_bits(y1 - pmvy_f)
+        cdir = jax.vmap(_satd)(ou - pdir_u) + _lam_cost(
+            lam_satd, jnp.int32(1))
+        if make_ref:
+            cdir = cdir + jnp.int32(1 << 29)  # stored Bs: no direct
+        cL0 = c0 + _lam_cost(lam_satd, rbits0[r0] + 3)
+        cL1 = c1 + _lam_cost(lam_satd, jnp.int32(3))
+        cbi = jax.vmap(_satd)(ou - pbi) + _lam_cost(
+            lam_satd, mvb0u + mvb1u + rbits0[r0] + 3)
+        costs = jnp.stack([cdir, cL0, cL1, cbi])
+        k = jnp.argmin(costs, axis=0).astype(jnp.int32)  # 0 dir/1 L0/2 L1/3 BI
+        pred = jnp.where((k == 0)[:, None, None], pdir_u,
+                         jnp.where((k == 1)[:, None, None], p0,
+                                   jnp.where((k == 2)[:, None, None],
+                                             p1, pbi)))
+        bits = jnp.where(
+            k == 0, 1,
+            jnp.where(k == 1, 3 + rbits0[r0] + mvb0u,
+                      jnp.where(k == 2, 3 + mvb1u,
+                                3 + rbits0[r0] + mvb0u + mvb1u)))
+        return dict(k=k, pred=pred, r0=r0, x0=x0, y0=y0, x1=x1, y1=y1,
+                    bits=bits)
 
     # ---- temporal direct derivation per 8x8 (spec §8.4.1.2.3) -----------
     b8oy = (0, 0, 8, 8)
@@ -1797,6 +2154,13 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
     (pred_dir, dir_idx, dir_l0x, dir_l0y, dir_l1x, dir_l1y) = jax.vmap(
         direct_mb)(jnp.arange(n_mb))
 
+    # B P8x8 candidate: per-unit best sub-mode, assembled
+    bu = [b8_set(b8, pred_dir) for b8 in range(4)]
+    pred_p8 = (jnp.stack([u["pred"] for u in bu], 1)
+               .reshape(n_mb, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4)
+               .reshape(n_mb, 16, 16))
+    p8_bits = sum(u["bits"] for u in bu)
+
     pred_bi = (pred0 + pred1 + 1) >> 1
     orig_mb = (cur_y.reshape(n_my, 16, n_mx, 16).transpose(0, 2, 1, 3)
                .reshape(n_mb, 16, 16))
@@ -1806,7 +2170,8 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         banks0, jnp.int32(0), pmvx_f[i], pmvy_f[i],
         mb_ys[i], mb_xs[i], 16, 16))(jnp.arange(n_mb))
     preds = jnp.stack(
-        [pred_dir, pred0, pred1, pred_bi, pred_pm])  # cands 0..4
+        [pred_dir, pred0, pred1, pred_bi, pred_pm,
+         pred_168, pred_816, pred_p8])  # cands 0..7
 
     off_inter = jnp.int32(Q.default_offset4(qp, False))
 
@@ -1815,6 +2180,7 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         blk = res.reshape(*res.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
         co = TR.forward4x4(blk)
         lev = Q.quant4x4(co, qp, off_inter)
+        lev = _rdoq4(blk, lev, qp, lam)
         deq = Q.dequant4x4(lev, qp)
         rr = TR.inverse4x4(deq.astype(jnp.int32))
         pb = pred.reshape(*pred.shape[:-2], 4, 4, 4, 4).swapaxes(-3, -2)
@@ -1835,6 +2201,9 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         3 + mvb1,
         5 + mvb0 + refb0 + mvb1,
         jnp.full((n_mb,), 5, jnp.int32) + refb_pm,
+        7 + h168[0]["bits"] + h168[1]["bits"],
+        7 + h816[0]["bits"] + h816[1]["bits"],
+        9 + p8_bits,
     ])
     J_inter = D_i + _lam_cost(lam, R_c + cb_i)
     # direct-zero (B skip) candidate
@@ -1859,26 +2228,31 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
     lev16, dc16, rec16, D_16, cb16 = _i16_tq(i16p, orig_mb, qp)
     J_i16 = D_16 + _lam_cost(lam, cb16 + 11)
 
-    # winner: order [DIRECT, L0, L1, BI, L0@PMV, I16, DIRECT_ZERO]
+    # winner order: [DIRECT, L0, L1, BI, L0@PMV, 16x8, 8x16, P8x8,
+    #                I16, DZ]
     J_all = jnp.concatenate([J_inter, J_i16[None], J_dz[None]], 0)
+    if _NO_BHALF:
+        BIGJ = jnp.int32(1 << 29)
+        J_all = J_all.at[5].set(BIGJ).at[6].set(BIGJ).at[7].set(BIGJ)
     if make_ref:
         # stored-reference Bs never use direct modes: their motion must
         # stay mappable into the leaf Bs' lists for temporal direct, so
         # it may only reference this picture's own (prefix) lists
         BIGJ = jnp.int32(1 << 29)
-        J_all = J_all.at[0].set(BIGJ).at[6].set(BIGJ)
+        J_all = J_all.at[0].set(BIGJ).at[9].set(BIGJ)
     win6 = jnp.argmin(J_all, axis=0).astype(jnp.int32)
     is_pm = win6 == 4
-    win = jnp.where(win6 == 6, B_DIRECT_ZERO,
-                    jnp.where(win6 == 5, B_I16,
-                              jnp.where(is_pm, B_L0, win6)))
+    win = jnp.where(win6 == 9, B_DIRECT_ZERO,
+                    jnp.where(win6 == 8, B_I16,
+                              jnp.where(win6 == 7, B_P8X8,
+                                        jnp.where(is_pm, B_L0, win6))))
     # the PMV winner is a plain L0 16x16 with mv = PMV, ref 0
     ref0 = jnp.where(is_pm, 0, ref0)
     mv0x = jnp.where(is_pm, pmvx_f, mv0x)
     mv0y = jnp.where(is_pm, pmvy_f, mv0y)
     is_intra = win == B_I16
     is_dz = win == B_DIRECT_ZERO
-    win_i = jnp.where(is_dz, 0, jnp.minimum(win6, 4))
+    win_i = jnp.where(is_dz, 0, jnp.minimum(win6, 7))
     take = lambda arr, w: jnp.take_along_axis(
         arr, w.reshape((1, n_mb) + (1,) * (arr.ndim - 2)), axis=0)[0]
     w_lev = take(lev_i, win_i)
@@ -1886,24 +2260,84 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
     w_rec = take(rec_i, win_i)
     w_rec = jnp.where(is_dz[:, None, None], rec_dz, w_rec)
 
-    # per-8x8 two-list winner motion
+    # per-8x8 (unit) pdir + two-list winner motion.  Units of half
+    # winners inherit their half's fields; 16x8 top = units {0,1},
+    # 8x16 left = units {0,2}.
+    is_h168 = win == B_L0_16x8
+    is_h816 = win == B_L0_8x16
+    hsel_168 = jnp.asarray([0, 0, 1, 1])   # unit -> 16x8 half
+    hsel_816 = jnp.asarray([0, 1, 0, 1])   # unit -> 8x16 half
+
+    def half_field(key):
+        a168 = jnp.stack([h168[0][key], h168[1][key]], 1)[:, hsel_168]
+        a816 = jnp.stack([h816[0][key], h816[1][key]], 1)[:, hsel_816]
+        return a168, a816  # (n_mb, 4) each
+
+    pd168, pd816 = half_field("pd")
+    r0168, r0816 = half_field("r0")
+    x0168, x0816 = half_field("x0")
+    y0168, y0816 = half_field("y0")
+    x1168, x1816 = half_field("x1")
+    y1168, y1816 = half_field("y1")
+    is_p8 = win == B_P8X8
+    ku = jnp.stack([u["k"] for u in bu], 1)  # (n_mb, 4) 0dir/1L0/2L1/3BI
+    # per-unit pdir: 0 L0 / 1 L1 / 2 BI / 3 per-unit direct (P8x8 only);
+    # 16x16 direct + DZ ride BI; intra -1 applied on the host
+    pd16 = jnp.where(win == B_L0, 0, jnp.where(win == B_L1, 1, 2))
+    pd_p8 = jnp.where(ku == 0, 3, ku - 1)
+    pdir8 = jnp.where(is_h168[:, None], pd168,
+                      jnp.where(is_h816[:, None], pd816,
+                                jnp.where(is_p8[:, None], pd_p8,
+                                          pd16[:, None])))
+
     use0 = ((win == B_DIRECT) | (win == B_L0) | (win == B_BI)
             | is_dz)
     use1 = ((win == B_DIRECT) | (win == B_L1) | (win == B_BI)
             | is_dz)
     isdir = (win == B_DIRECT) | is_dz
+    ishalf = is_h168 | is_h816
+    hr0 = jnp.where(is_h168[:, None], r0168, r0816)
+    hx0 = jnp.where(is_h168[:, None], x0168, x0816)
+    hy0 = jnp.where(is_h168[:, None], y0168, y0816)
+    hx1 = jnp.where(is_h168[:, None], x1168, x1816)
+    hy1 = jnp.where(is_h168[:, None], y1168, y1816)
+    # P8x8 units: explicit sub-mode fields, or the unit's direct motion
+    pdir_u = ku == 0
+    hr0 = jnp.where(is_p8[:, None],
+                    jnp.where(pdir_u, dir_idx,
+                              jnp.stack([u["r0"] for u in bu], 1)), hr0)
+    hx0 = jnp.where(is_p8[:, None],
+                    jnp.where(pdir_u, dir_l0x,
+                              jnp.stack([u["x0"] for u in bu], 1)), hx0)
+    hy0 = jnp.where(is_p8[:, None],
+                    jnp.where(pdir_u, dir_l0y,
+                              jnp.stack([u["y0"] for u in bu], 1)), hy0)
+    hx1 = jnp.where(is_p8[:, None],
+                    jnp.where(pdir_u, dir_l1x,
+                              jnp.stack([u["x1"] for u in bu], 1)), hx1)
+    hy1 = jnp.where(is_p8[:, None],
+                    jnp.where(pdir_u, dir_l1y,
+                              jnp.stack([u["y1"] for u in bu], 1)), hy1)
+    ishalf8 = ishalf | is_p8
+    hu0 = ishalf8[:, None] & ((pdir8 == 0) | (pdir8 >= 2))
+    hu1 = ishalf8[:, None] & (pdir8 >= 1)
     w_idx0 = jnp.where(isdir[:, None], dir_idx,
-                       jnp.where(use0[:, None], ref0[:, None], 0))
+                       jnp.where(hu0, hr0,
+                                 jnp.where(use0[:, None], ref0[:, None], 0)))
     w_m0x = jnp.where(isdir[:, None], dir_l0x,
-                      jnp.where(use0[:, None], mv0x[:, None], 0))
+                      jnp.where(hu0, hx0,
+                                jnp.where(use0[:, None], mv0x[:, None], 0)))
     w_m0y = jnp.where(isdir[:, None], dir_l0y,
-                      jnp.where(use0[:, None], mv0y[:, None], 0))
+                      jnp.where(hu0, hy0,
+                                jnp.where(use0[:, None], mv0y[:, None], 0)))
     w_m1x = jnp.where(isdir[:, None], dir_l1x,
-                      jnp.where(use1[:, None], mv1x[:, None], 0))
+                      jnp.where(hu1, hx1,
+                                jnp.where(use1[:, None], mv1x[:, None], 0)))
     w_m1y = jnp.where(isdir[:, None], dir_l1y,
-                      jnp.where(use1[:, None], mv1y[:, None], 0))
-    u0_8 = jnp.repeat(use0[:, None] & ~is_intra[:, None], 4, 1)
-    u1_8 = jnp.repeat(use1[:, None] & ~is_intra[:, None], 4, 1)
+                      jnp.where(hu1, hy1,
+                                jnp.where(use1[:, None], mv1y[:, None], 0)))
+    u0_8 = (jnp.repeat(use0[:, None], 4, 1) | hu0) & ~is_intra[:, None]
+    u1_8 = (jnp.repeat(use1[:, None], 4, 1) | hu1) & ~is_intra[:, None]
 
     # ---- chroma ---------------------------------------------------------
     def chroma_pred_mb(i):
@@ -1926,7 +2360,8 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
     pred_c_mb = jax.vmap(chroma_pred_mb)(jnp.arange(n_mb))
     orig_c = jnp.stack([cur_u, cur_v]).reshape(
         2, n_my, 8, n_mx, 8).transpose(1, 3, 0, 2, 4).reshape(n_mb, 2, 8, 8)
-    levc, dcc, recc, _ = _chroma_tq(pred_c_mb, orig_c, qp_c, intra=False)
+    levc, dcc, recc, _ = _chroma_tq(pred_c_mb, orig_c, qp_c, intra=False,
+                                lam=lam)
     levc = jnp.where(is_dz[:, None, None, None, None, None], 0, levc)
     dcc = jnp.where(is_dz[:, None, None, None], 0, dcc)
     recc = jnp.where(is_dz[:, None, None, None],
@@ -1962,7 +2397,7 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         rec_y, rec_u, rec_v, BSV, BSH, qp, qp_c)
 
     host_out = jnp.concatenate([
-        win.reshape(-1), w_idx0.reshape(-1),
+        win.reshape(-1), pdir8.reshape(-1), w_idx0.reshape(-1),
         w_m0x.reshape(-1), w_m0y.reshape(-1),
         w_m1x.reshape(-1), w_m1y.reshape(-1),
         i16mode.reshape(-1), cip.reshape(-1),
