@@ -35,6 +35,9 @@ import numpy as np
 # experiment kill-switches (trace-time): disable candidate families
 _NO_SUB8 = bool(os.environ.get("H264_NO_SUB8"))
 _NO_BHALF = bool(os.environ.get("H264_NO_BHALF"))
+_NO_INTERINTRA = bool(os.environ.get("H264_NO_INTERINTRA"))
+# intra-in-P/B rate-estimate scale (percent); 100 = neutral
+_INTRA_RSCALE = int(os.environ.get("H264_INTRA_RSCALE", "100"))
 
 import jax
 import jax.numpy as jnp
@@ -989,7 +992,9 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     ulv = ul.reshape(n_mb)
     i16p, i16m, i16rb = _i16_pred_all(upv, lfv, ulv, au, al, orig_mb)
     lev16, dc16, rec16, D_16, cb16 = _i16_tq(i16p, orig_mb, qp)
-    J_i16 = D_16 + _lam_cost(lam, cb16 + 8)
+    J_i16 = D_16 + _lam_cost(lam, ((cb16 + 8) * _INTRA_RSCALE) // 100)
+    if _NO_INTERINTRA:
+        J_i16 = J_i16 + jnp.int32(1 << 29)
 
     J_all = jnp.concatenate(
         [J_inter, J_pmv[None], J_i16[None]], 0)  # (7, n_mb)
@@ -1371,9 +1376,10 @@ def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
         2, n_my, 8, n_mx, 8).transpose(1, 3, 0, 2, 4).reshape(n_mb, 2, 8, 8)
     off_intra = jnp.int32(Q.default_offset4(qp, True))
 
-    def body(carry, i):
-        (Yp, Up, Vp, ipm, w_lev, levc, dcc, lum_dc, i16mode, cip,
-         i4flag) = carry
+    def mb_compute(i, Yp, Up, Vp, ipm):
+        """Decide + reconstruct ONE MB against final neighbor recon;
+        pure reads of the carry planes (no in-place update — the
+        wavefront step scatters the returned tiles)."""
         r = i // n_mx
         c = i % n_mx
         y0, x0 = 16 * r, 16 * c
@@ -1507,28 +1513,66 @@ def _intra_commit_scan(cur_y, cur_u, cur_v, w_rec, recc, is_intra, w_lev,
                     jnp.int32(0), jnp.int32(0), levc[i], dcc[i],
                     jnp.int32(0), jnp.full((4, 4), 2, jnp.int32))
 
+        return jax.lax.cond(is_intra[i], intra_case, inter_case, None)
+
+    # ---- wavefront schedule --------------------------------------------
+    # MB (r, c) depends on (r, c-1), (r-1, c), (r-1, c+1): time t = 2r+c
+    # satisfies all three (t-1, t-2, t-1), so each anti-diagonal commits
+    # in parallel — depth 2*n_my + n_mx - 1 steps instead of n_mb (the
+    # encoder dual of ldecod's MB dependence cone; SURVEY §2.3 wavefront)
+    T = 2 * n_my + n_mx - 1
+    LMAX = min(n_my, n_mx // 2 + 1)
+    diag_np = np.full((T, LMAX), n_mb, np.int64)  # n_mb = dropped lane
+    for t in range(T):
+        k = 0
+        for r_ in range(n_my):
+            c_ = t - 2 * r_
+            if 0 <= c_ < n_mx:
+                diag_np[t, k] = r_ * n_mx + c_
+                k += 1
+    diag_j = jnp.asarray(diag_np)
+
+    def step(carry, t):
+        (Yp, Up, Vp, ipm, w_lev, levc, dcc, lum_dc, i16mode, cip,
+         i4flag) = carry
+        ids = diag_j[t]                      # (LMAX,)
+        idc = jnp.minimum(ids, n_mb - 1)     # clamped for padded lanes
         (rec, crec, lev, dclev, mode, cmode, clev, cdc, use4,
-         modes4) = jax.lax.cond(is_intra[i], intra_case, inter_case, None)
-        Yp = jax.lax.dynamic_update_slice(Yp, rec, (y0 + 1, x0 + 1))
-        Up = jax.lax.dynamic_update_slice(Up, crec[0], (yc + 1, xc + 1))
-        Vp = jax.lax.dynamic_update_slice(Vp, crec[1], (yc + 1, xc + 1))
-        ipm = jax.lax.dynamic_update_slice(
-            ipm, modes4, (4 * r + 1, 4 * c + 1))
-        w_lev = jax.lax.dynamic_update_slice(
-            w_lev, lev[None], (i, 0, 0, 0, 0))
-        levc = jax.lax.dynamic_update_slice(
-            levc, clev[None], (i, 0, 0, 0, 0, 0))
-        dcc = jax.lax.dynamic_update_slice(dcc, cdc[None], (i, 0, 0, 0))
-        lum_dc = jax.lax.dynamic_update_slice(lum_dc, dclev[None], (i, 0, 0))
-        i16mode = i16mode.at[i].set(mode)
-        cip = cip.at[i].set(cmode)
-        i4flag = i4flag.at[i].set(use4)
+         modes4) = jax.vmap(
+            lambda i: mb_compute(i, Yp, Up, Vp, ipm))(idc)
+        valid = ids < n_mb
+        r = idc // n_mx
+        c = idc % n_mx
+        far = jnp.int32(1 << 20)             # OOB row -> scatter-dropped
+        oy = jnp.where(valid, 16 * r + 1, far)
+        a16 = jnp.arange(16)
+        iy = oy[:, None, None] + a16[None, :, None]
+        ix = (16 * c + 1)[:, None, None] + a16[None, None, :]
+        Yp = Yp.at[iy, ix].set(rec, mode="drop")
+        a8 = jnp.arange(8)
+        oyc = jnp.where(valid, 8 * r + 1, far)
+        iyc = oyc[:, None, None] + a8[None, :, None]
+        ixc = (8 * c + 1)[:, None, None] + a8[None, None, :]
+        Up = Up.at[iyc, ixc].set(crec[:, 0], mode="drop")
+        Vp = Vp.at[iyc, ixc].set(crec[:, 1], mode="drop")
+        a4 = jnp.arange(4)
+        oym = jnp.where(valid, 4 * r + 1, far)
+        iym = oym[:, None, None] + a4[None, :, None]
+        ixm = (4 * c + 1)[:, None, None] + a4[None, None, :]
+        ipm = ipm.at[iym, ixm].set(modes4, mode="drop")
+        w_lev = w_lev.at[ids].set(lev, mode="drop")
+        levc = levc.at[ids].set(clev, mode="drop")
+        dcc = dcc.at[ids].set(cdc, mode="drop")
+        lum_dc = lum_dc.at[ids].set(dclev, mode="drop")
+        i16mode = i16mode.at[ids].set(mode, mode="drop")
+        cip = cip.at[ids].set(cmode, mode="drop")
+        i4flag = i4flag.at[ids].set(use4, mode="drop")
         return (Yp, Up, Vp, ipm, w_lev, levc, dcc, lum_dc, i16mode, cip,
                 i4flag), None
 
     init = (Yp, Up, Vp, ipm, w_lev, levc, dcc, lum_dc, i16mode, cip, i4flag)
     (Yp, Up, Vp, ipm, w_lev, levc, dcc, lum_dc, i16mode, cip,
-     i4flag), _ = jax.lax.scan(body, init, jnp.arange(n_mb))
+     i4flag), _ = jax.lax.scan(step, init, jnp.arange(T))
     return (Yp[1:, 1 : 4 * n_mx * 4 + 1], Up[1:, 1:], Vp[1:, 1:], w_lev,
             lum_dc, i16mode, cip, levc, dcc, i4flag, ipm[1:, 1:])
 
@@ -2226,7 +2270,9 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
                                   left_mb.reshape(n_mb, 16),
                                   ul.reshape(n_mb), au, al, orig_mb)
     lev16, dc16, rec16, D_16, cb16 = _i16_tq(i16p, orig_mb, qp)
-    J_i16 = D_16 + _lam_cost(lam, cb16 + 11)
+    J_i16 = D_16 + _lam_cost(lam, ((cb16 + 11) * _INTRA_RSCALE) // 100)
+    if _NO_INTERINTRA:
+        J_i16 = J_i16 + jnp.int32(1 << 29)
 
     # winner order: [DIRECT, L0, L1, BI, L0@PMV, 16x8, 8x16, P8x8,
     #                I16, DZ]
