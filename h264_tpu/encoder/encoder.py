@@ -168,8 +168,10 @@ class H264Encoder:
             self.sps.profile_idc = 100
             self.pps.transform_8x8_mode_flag = bool(cfg.transform8x8)
             self.pps.second_chroma_qp_index_offset = 0
-            assert not cfg.fast, (
-                "FRExt tools run on the host path (fast=False)")
+            # transform8x8 runs on the device RD pipeline; custom
+            # scaling matrices still ride the host path
+            assert not (cfg.fast and cfg.scaling_lists is not None), (
+                "scaling matrices run on the host path (fast=False)")
         if cfg.scaling_lists is not None:
             import numpy as _np
 
@@ -446,7 +448,7 @@ class H264Encoder:
             }
         if (stype == SliceType.I and len(slices) == 1
                 and cfg.enable_i4 and not pps.constrained_intra_pred_flag
-                and self._ws4 is None and not cfg.transform8x8
+                and self._ws4 is None
                 and sps.chroma_format_idc == 1 and sps.bit_depth_luma == 8):
             self._device_intra_picture(st, planes, Y, U, V, qp)
         else:
@@ -732,6 +734,7 @@ class H264Encoder:
                 use_drift=(self._lsim is not None
                            and self._lsim.pen is not None),
                 use_cme=True,
+                use_t8=bool(cfg.transform8x8),
             )
         if self._lsim is not None:
             intra4_c, _ref4_c, mvx4_c, mvy4_c = new_entry[2]
@@ -826,32 +829,35 @@ class H264Encoder:
         if fetched.ndim == 2:  # row-sliced: (G, per-group buffer)
             G = fetched.shape[0]
             n_g = n_mb // G
-            sz_g = [n_g, 4 * n_g, 4 * n_g, 16 * n_g, 16 * n_g, n_g, n_g,
-                    256 * n_g, 16 * n_g, 128 * n_g, 8 * n_g, 16 * n_g]
+            sz_g = [n_g, 4 * n_g, 4 * n_g, n_g, 16 * n_g, 16 * n_g,
+                    n_g, n_g, 256 * n_g, 256 * n_g, 16 * n_g, 128 * n_g,
+                    8 * n_g, 16 * n_g]
             per_g = [np.split(row, np.cumsum(sz_g)[:-1]) for row in fetched]
             parts = [np.concatenate([pg[k] for pg in per_g])
                      for k in range(len(sz_g))]
             # ipm rows are per-group (4*Hg, 4*W) planes: restack
             Hg4 = 4 * (st.H // G)
             ipm_plane = np.concatenate(
-                [pg[11].reshape(Hg4, 4 * st.W) for pg in per_g], axis=0)
+                [pg[13].reshape(Hg4, 4 * st.W) for pg in per_g], axis=0)
         else:
-            sizes = [n_mb, 4 * n_mb, 4 * n_mb, 16 * n_mb, 16 * n_mb,
-                     n_mb, n_mb, 256 * n_mb, 16 * n_mb, 128 * n_mb,
-                     8 * n_mb, 16 * n_mb]
+            sizes = [n_mb, 4 * n_mb, 4 * n_mb, n_mb, 16 * n_mb, 16 * n_mb,
+                     n_mb, n_mb, 256 * n_mb, 256 * n_mb, 16 * n_mb,
+                     128 * n_mb, 8 * n_mb, 16 * n_mb]
             parts = np.split(fetched, np.cumsum(sizes)[:-1])
-            ipm_plane = parts[11].reshape(4 * st.H, 4 * st.W)
+            ipm_plane = parts[13].reshape(4 * st.H, 4 * st.W)
         win = parts[0]
         ref8 = parts[1].reshape(n_mb, 4)
         b8sub = parts[2].reshape(n_mb, 4)
-        mv4x = parts[3].reshape(n_mb, 4, 4)
-        mv4y = parts[4].reshape(n_mb, 4, 4)
-        i16mode = parts[5]
-        cip = parts[6]
-        lev = parts[7].reshape(n_mb, 4, 4, 4, 4)
-        dc = parts[8].reshape(n_mb, 4, 4)
-        levc = parts[9].reshape(n_mb, 2, 2, 2, 4, 4)
-        dcc = parts[10].reshape(n_mb, 2, 2, 2)
+        t8 = parts[3]
+        mv4x = parts[4].reshape(n_mb, 4, 4)
+        mv4y = parts[5].reshape(n_mb, 4, 4)
+        i16mode = parts[6]
+        cip = parts[7]
+        lev = parts[8].reshape(n_mb, 4, 4, 4, 4)
+        lev8 = parts[9].reshape(n_mb, 2, 2, 8, 8)
+        dc = parts[10].reshape(n_mb, 4, 4)
+        levc = parts[11].reshape(n_mb, 2, 2, 2, 4, 4)
+        dcc = parts[12].reshape(n_mb, 2, 2, 2)
         planes.Y, planes.U, planes.V = recon
         G = cfg.row_slices if cfg.row_slices > 1 else 1
         n_g = n_mb // G
@@ -860,7 +866,8 @@ class H264Encoder:
         if G > 1:
             st.lf_disable[:] = 2  # no filtering across slice edges
         self._fill_p_state_rd(st, win, ref8, b8sub, mv4x, mv4y, i16mode,
-                              cip, lev, dc, levc, dcc, ref_pocs, ipm_plane)
+                              cip, lev, dc, levc, dcc, ref_pocs, ipm_plane,
+                              t8=t8, lev8=lev8)
         nr = len(ref_pocs)
         nals = []
         for g in range(G):
@@ -966,7 +973,7 @@ class H264Encoder:
 
     def _fill_p_state_rd(self, st, win, ref8, b8sub, mv4x, mv4y, i16mode,
                          cip, lev, dc, levc, dcc, ref_pocs,
-                         ipm_plane=None):
+                         ipm_plane=None, t8=None, lev8=None):
         """Decode-state fill for the RD pipeline interchange buffer.
 
         mv4x/mv4y: (n_mb, 4 units, 4 subpos) per-4x4 motion; b8sub:
@@ -1030,8 +1037,18 @@ class H264Encoder:
         st.luma_dc[:] = np.where(i16[:, None, None], dc, 0)
         st.chroma_levels[:] = levc.reshape(n_mb, 2, 4, 4, 4)
         st.chroma_dc[:] = dcc
+        # transform_size_8x8 winners: flag + 8x8 levels
+        if t8 is not None and t8.any():
+            t8b = t8.astype(bool)
+            st.transform8x8[t8b] = 1
+            st.luma8_levels[t8b] = lev8.reshape(n_mb, 4, 8, 8)[t8b]
         # cbp: I16 -> all-or-nothing luma; I4/inter -> per-8x8 bits
         nz4 = lev.any(axis=(3, 4))  # (n_mb, br, bc)
+        if t8 is not None and t8.any():
+            # a nonzero 8x8 block marks its four 4x4 cells
+            nz8 = lev8.any(axis=(3, 4)).reshape(n_mb, 2, 2)
+            nz4 = nz4 | (np.repeat(np.repeat(nz8, 2, 1), 2, 2)
+                         & t8.astype(bool)[:, None, None])
         q8 = nz4.reshape(n_mb, 2, 2, 2, 2).any(axis=(2, 4))
         cbp_inter = (q8[:, 0, 0] * 1 + q8[:, 0, 1] * 2 + q8[:, 1, 0] * 4
                      + q8[:, 1, 1] * 8)
@@ -1040,6 +1057,10 @@ class H264Encoder:
         has_dc = dcc.any(axis=(2, 3)).any(axis=1)
         cbp_c = np.where(has_ac, 2, np.where(has_dc, 1, 0))
         st.cbp[:] = cbp_l + 16 * cbp_c
+        # transform_size_8x8_flag is only transmitted when luma cbp != 0
+        # (need_transform_size); an untransmitted flag must read 0 for
+        # the decoder's CABAC neighbor contexts (macroblock.c:2901)
+        st.transform8x8[(st.cbp & 15) == 0] = 0
         weights = (1 << np.arange(16, dtype=np.int64)).reshape(4, 4)
         cbp_blk = (nz4 * weights).sum(axis=(1, 2))
         dc_any = dc.any(axis=(1, 2)) & i16

@@ -38,6 +38,9 @@ _NO_BHALF = bool(os.environ.get("H264_NO_BHALF"))
 _NO_INTERINTRA = bool(os.environ.get("H264_NO_INTERINTRA"))
 # intra-in-P/B rate-estimate scale (percent); 100 = neutral
 _INTRA_RSCALE = int(os.environ.get("H264_INTRA_RSCALE", "100"))
+# inter coefficient-bits estimate scale (percent): CABAC codes residual
+# cheaper than the CAVLC-shaped _coef_bits model
+_COEF_RSCALE = int(os.environ.get("H264_COEF_RSCALE", "100"))
 
 import jax
 import jax.numpy as jnp
@@ -321,14 +324,15 @@ def _wp_affine(x, w, o):
 
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "R", "stage", "use_wp",
-                                    "use_refresh", "use_drift", "use_cme"))
+                                    "use_refresh", "use_drift", "use_cme",
+                                    "use_t8"))
 def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
                   H: int, W: int, R: int, qp: int, qp_c: int,
                   lam: int, lam_me: int, stage: int = 9, nref=None,
                   wp_w=None, wp_o=None, use_wp: bool = False,
                   force_intra=None, use_refresh: bool = False,
                   drift_pen=None, use_drift: bool = False,
-                  use_cme: bool = False):
+                  use_cme: bool = False, use_t8: bool = False):
     """Whole-frame RD P encode. banks: (NR, 4, Hp, Wp); cpads:
     (NR, 2, Hcp, Wcp).  lam/lam_me: lambda_mode / lambda_me << 16.
 
@@ -958,7 +962,7 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
         jnp.zeros((n_mb,), jnp.int32),
     ])
     R_inter = hdr[:, None] + mot + (refb * sel[:, None, :]).sum(-1)
-    R_inter = R_inter + cb_i
+    R_inter = R_inter + (cb_i * _COEF_RSCALE) // 100
     J_inter = D_i + _lam_cost(lam, R_inter)
     J_skip = D_skip  # rate ~ 0
     J_inter = J_inter.at[4].set(J_skip)
@@ -1064,6 +1068,50 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     if stage == 5:
         return recc.sum() + w_rec.sum(), None, None
 
+    # ---- FRExt: transform_size_8x8 decision for eligible winners --------
+    # (lencod/src/transform8x8.c:1452 Mode_Decision_for_8x8Transform:
+    # residual re-coded with the 8x8 core transform, chosen per MB at
+    # full RD; only partitions >= 8x8 may use it, spec §7.4.5)
+    w_t8 = jnp.zeros((n_mb,), jnp.int32)
+    w_lev8 = jnp.zeros((n_mb, 2, 2, 8, 8), jnp.int32)
+    if use_t8:
+        res_t8 = (orig_mb - w_pred).reshape(n_mb, 2, 8, 2, 8).swapaxes(2, 3)
+        co8 = TR.forward8x8(res_t8)
+        per8, rem8 = qp // 6, qp % 6
+        mf8 = jnp.asarray(Q.QUANT8)[rem8]
+        # InvLevelScale8 = normAdjust8 * flat weight 16 (spec §8.5.9)
+        v8 = jnp.asarray(Q.DEQUANT8)[rem8] * 16
+        off8 = Q.default_offset8(qp, False)
+        a8c = jnp.abs(co8)
+        lev8 = jnp.where(co8 < 0,
+                         -((a8c * mf8 + off8) >> (Q.Q_BITS_8 + per8)),
+                         (a8c * mf8 + off8) >> (Q.Q_BITS_8 + per8))
+        from ..ops.exact import rshift_rnd_sf as _rsf
+        deq8 = _rsf((lev8 * v8) << per8, 6)
+        rr8 = TR.inverse8x8(deq8.astype(jnp.int32))
+        pb8 = w_pred.reshape(n_mb, 2, 8, 2, 8).swapaxes(2, 3)
+        rec8b = ((rr8 + (pb8 << 6) + 32) >> 6).clip(0, 255)
+        rec8 = rec8b.swapaxes(2, 3).reshape(n_mb, 16, 16)
+        d8 = orig_mb - rec8
+        D_8 = (d8 * d8).sum((-1, -2))
+        a8l = jnp.abs(lev8)
+        nz8 = a8l > 0
+        cb8 = (jnp.where(nz8, 2 * _bitlen(jnp.maximum(a8l, 1)) + 2, 0)
+               .sum((-1, -2)) + jnp.where(nz8.any((-1, -2)), 4, 0)
+               ).sum((-1, -2))
+        d4w = orig_mb - w_rec
+        D_4 = (d4w * d4w).sum((-1, -2))
+        cb4 = _coef_bits(w_lev).sum((-1, -2))
+        # eligibility: inter winner, every unit at least 8x8
+        ok_t8 = (~is_intra) & (win != C_SKIP) & (
+            (win != C_P8x8) | (w_sub == 0).all(-1))
+        use8 = ok_t8 & (D_8 + _lam_cost(lam, cb8 + 1)
+                        < D_4 + _lam_cost(lam, cb4 + 1))
+        w_t8 = use8.astype(jnp.int32)
+        w_lev8 = jnp.where(use8[:, None, None, None, None], lev8, 0)
+        w_lev = jnp.where(use8[:, None, None, None, None], 0, w_lev)
+        w_rec = jnp.where(use8[:, None, None], rec8, w_rec)
+
     # ---- intra commit scan (raster; decoder-exact neighbors) ------------
     (rec_y, rec_u, rec_v, w_lev, lum_dc, i16mode, cip,
      levc, dcc, i4flag, ipm) = _intra_commit_scan(
@@ -1077,6 +1125,10 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     nz4 = (w_lev != 0).any((-1, -2))  # (n_mb, 4, 4) [br][bc]
     nz4 = nz4 | (is_intra[:, None, None] & (lum_dc != 0).any(
         (-1, -2))[:, None, None])
+    if use_t8:
+        # T8 MBs: a nonzero 8x8 block marks all four of its 4x4 cells
+        nz8c = (w_lev8 != 0).any((-1, -2))  # (n_mb, 2, 2)
+        nz4 = nz4 | jnp.repeat(jnp.repeat(nz8c, 2, -1), 2, -2)
     nz4_pic = (nz4.reshape(n_my, n_mx, 4, 4).transpose(0, 2, 1, 3)
                .reshape(4 * n_my, 4 * n_mx))
     def mv4_pic(a):  # (n_mb, 4, 4) unit/subpos -> (4*n_my, 4*n_mx)
@@ -1091,6 +1143,17 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
     intra4 = jnp.repeat(jnp.repeat(
         is_intra.reshape(n_my, n_mx), 4, 0), 4, 1)
     BSV, BSH = strengths_full(nz4_pic, mvx4, mvy4, ref4, intra4)
+    if use_t8:
+        # 8x8-transform MBs filter only their 8-pel-grid edges
+        # (ldecod/src/loopFilter.c: !(t8 && (edge & 1)))
+        t8_pic = jnp.repeat(jnp.repeat(
+            (w_t8 > 0).reshape(n_my, n_mx), 4, 0), 4, 1)
+        xs4 = jnp.arange(4 * n_mx) % 4
+        ys4 = jnp.arange(4 * n_my) % 4
+        odd_v = ((xs4 == 1) | (xs4 == 3))[None, :]
+        odd_h = ((ys4 == 1) | (ys4 == 3))[:, None]
+        BSV = jnp.where(t8_pic & odd_v, 0, BSV)
+        BSH = jnp.where(t8_pic & odd_h, 0, BSH)
     dy_, du_, dv_ = deblock_device_full(
         rec_y, rec_u, rec_v, BSV, BSH, qp, qp_c)
     if stage == 7:
@@ -1104,9 +1167,10 @@ def rd_p_pipeline(cur_y8, cur_u8, cur_v8, banks, cpads,
 
     host_out = jnp.concatenate([
         win.reshape(-1), w_ref8.reshape(-1), w_sub.reshape(-1),
+        w_t8.reshape(-1),
         w_mv4x.reshape(-1), w_mv4y.reshape(-1),
         i16mode.reshape(-1), cip.reshape(-1),
-        w_lev.reshape(-1), lum_dc.reshape(-1),
+        w_lev.reshape(-1), w_lev8.reshape(-1), lum_dc.reshape(-1),
         levc.reshape(-1), dcc.reshape(-1),
         ipm.reshape(-1),
     ])
@@ -2249,7 +2313,7 @@ def rd_b_pipeline(cur_y8, cur_u8, cur_v8, banks0, cpads0, banks1, cpads1,
         7 + h816[0]["bits"] + h816[1]["bits"],
         9 + p8_bits,
     ])
-    J_inter = D_i + _lam_cost(lam, R_c + cb_i)
+    J_inter = D_i + _lam_cost(lam, R_c + (cb_i * _COEF_RSCALE) // 100)
     # direct-zero (B skip) candidate
     rec_dz = pred_dir.clip(0, 255)
     ddz = orig_mb - rec_dz
