@@ -47,7 +47,7 @@ def encode_once(frames, qp, timed=False, keep_stream=None):
     enc = H264Encoder(
         EncoderConfig(
             width=352, height=288, qp=qp, fast=True, b_frames=1,
-            entropy="cabac", num_ref_frames=3, search_range=24,
+            entropy="cabac", num_ref_frames=5, search_range=28,
             weighted_pred=True,
         )
     )
